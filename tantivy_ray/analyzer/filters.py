@@ -1,0 +1,175 @@
+"""Token filters — tantivy's filter chain semantics.
+
+- ``LowerCaser``: ASCII fast path, else per-char Unicode lowercase WITHOUT
+  the Greek final-sigma contextual rule
+  (/root/reference/src/tokenizer/lower_caser.rs:44-66).
+- ``RemoveLongFilter``: drops tokens whose UTF-8 byte length >= limit
+  (keep iff ``len(bytes) < limit``; /root/reference/src/tokenizer/remove_long.rs:35-38).
+- ``StopWordFilter``: drops tokens in a language stop list
+  (/root/reference/src/tokenizer/stop_word_filter/).
+- ``AlphaNumOnlyFilter``: keeps only tokens made entirely of alphanumerics
+  (/root/reference/src/tokenizer/alphanum_only.rs:29).
+- ``AsciiFoldingFilter``: folds diacritics to ASCII. The reference ships a
+  Lucene-derived explicit table (~4k lines); here we use NFKD decomposition +
+  combining-mark strip + a small extras map — equivalent for Latin diacritics,
+  documented divergence for exotic ligature mappings
+  (/root/reference/src/tokenizer/ascii_folding_filter.rs:9).
+- ``Stemmer``: Snowball (Porter2) English, implemented in ``stemmer.py``
+  (/root/reference/src/tokenizer/stemmer.rs:12-31).
+- ``SplitCompoundWords``: dictionary-driven compound splitting
+  (/root/reference/src/tokenizer/split_compound_words.rs:46).
+
+Filters transform ``List[Token]`` in place of tantivy's stream wrappers;
+dropped tokens leave position gaps (positions were assigned by the
+tokenizer), matching the reference's composition order.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import List, Optional, Sequence, Set
+
+from .stemmer import snowball_english_stem
+from .tokenizers import Token
+
+# Lucene/tantivy classic English stop list (33 words) —
+# reference src/tokenizer/stop_word_filter/ (English set).
+ENGLISH_STOP_WORDS: Set[str] = {
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+}
+
+
+def lowercase_token_text(text: str) -> str:
+    """tantivy LowerCaser: per-char lowercase, no final-sigma context."""
+    if text.isascii():
+        return text.lower()
+    if "Σ" in text:  # capital sigma: avoid str.lower()'s contextual ς
+        return "".join(c.lower() for c in text)
+    return text.lower()
+
+
+class LowerCaser:
+    def apply(self, tokens: List[Token]) -> List[Token]:
+        for t in tokens:
+            t.text = lowercase_token_text(t.text)
+        return tokens
+
+
+class RemoveLongFilter:
+    def __init__(self, length_limit: int = 40):
+        self.length_limit = length_limit
+
+    def _keep(self, text: str) -> bool:
+        return len(text.encode("utf-8")) < self.length_limit
+
+    def apply(self, tokens: List[Token]) -> List[Token]:
+        return [t for t in tokens if self._keep(t.text)]
+
+
+class StopWordFilter:
+    def __init__(self, words: Optional[Sequence[str]] = None, language: str = "english"):
+        if words is None:
+            if language != "english":
+                raise ValueError(
+                    f"no built-in stop list for {language!r}; pass words="
+                )
+            words = ENGLISH_STOP_WORDS
+        self.words = frozenset(words)
+
+    def apply(self, tokens: List[Token]) -> List[Token]:
+        return [t for t in tokens if t.text not in self.words]
+
+
+class AlphaNumOnlyFilter:
+    def apply(self, tokens: List[Token]) -> List[Token]:
+        return [t for t in tokens if t.text.isalnum()]
+
+
+_ASCII_FOLD_EXTRAS = {
+    "æ": "ae", "Æ": "AE", "ø": "o", "Ø": "O", "œ": "oe", "Œ": "OE",
+    "ß": "ss", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D", "þ": "th",
+    "Þ": "TH", "ł": "l", "Ł": "L", "ı": "i",
+}
+
+
+def ascii_fold(text: str) -> str:
+    if text.isascii():
+        return text
+    out = []
+    for ch in text:
+        if ch.isascii():
+            out.append(ch)
+            continue
+        if ch in _ASCII_FOLD_EXTRAS:
+            out.append(_ASCII_FOLD_EXTRAS[ch])
+            continue
+        decomp = unicodedata.normalize("NFKD", ch)
+        folded = "".join(c for c in decomp if not unicodedata.combining(c))
+        out.append(folded if folded.isascii() else ch)
+    return "".join(out)
+
+
+class AsciiFoldingFilter:
+    def apply(self, tokens: List[Token]) -> List[Token]:
+        for t in tokens:
+            t.text = ascii_fold(t.text)
+        return tokens
+
+
+class Stemmer:
+    """Snowball stemmer. Only English is implemented natively; the reference
+    supports 18 Snowball languages via rust-stemmers — other languages raise."""
+
+    def __init__(self, language: str = "english"):
+        if language not in ("english", "en"):
+            raise NotImplementedError(
+                f"stemmer language {language!r} not available in this build "
+                "(pure-Python Snowball English only)"
+            )
+        self.language = "english"
+
+    def stem(self, word: str) -> str:
+        return snowball_english_stem(word)
+
+    def apply(self, tokens: List[Token]) -> List[Token]:
+        for t in tokens:
+            t.text = snowball_english_stem(t.text)
+        return tokens
+
+
+class SplitCompoundWords:
+    """Greedy dictionary-driven compound splitting: if a token can be written
+    as a concatenation of dictionary words, emit the parts (same position),
+    else keep the token (reference uses aho-corasick; semantics: only emits
+    the split when the WHOLE token is covered)."""
+
+    def __init__(self, dictionary: Sequence[str]):
+        self.words = frozenset(w for w in dictionary if w)
+        self.max_len = max((len(w) for w in self.words), default=0)
+
+    def _split(self, text: str) -> Optional[List[str]]:
+        n = len(text)
+        # dp[i] = split of text[:i] or None
+        dp: List[Optional[List[str]]] = [None] * (n + 1)
+        dp[0] = []
+        for i in range(1, n + 1):
+            lo = max(0, i - self.max_len)
+            for j in range(i - 1, lo - 1, -1):
+                if dp[j] is not None and text[j:i] in self.words:
+                    dp[i] = dp[j] + [text[j:i]]  # type: ignore[operator]
+                    break
+        return dp[n] if dp[n] else None
+
+    def apply(self, tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        for t in tokens:
+            parts = self._split(t.text)
+            if parts and len(parts) > 1:
+                for p in parts:
+                    out.append(Token(p, t.position, t.offset_from, t.offset_to))
+            else:
+                out.append(t)
+        return out
