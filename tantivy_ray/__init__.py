@@ -26,3 +26,16 @@ __version__ = "0.1.0"
 
 K1 = 1.2
 B = 0.75
+
+# Ray worker processes resolve this package by module path, not by the
+# driver's sys.path mutations. Exporting PYTHONPATH at import time (before
+# any ray.init in our own entry points) makes workers able to unpickle our
+# task classes regardless of the driver's cwd; distributed stages also pass
+# an explicit runtime_env (see utils.worker_runtime_env).
+import os as _os
+
+_PKG_PARENT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _PKG_PARENT not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _PKG_PARENT + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+    ).rstrip(_os.pathsep)

@@ -1,0 +1,16 @@
+from .build import build_index, plan_partitions  # noqa: F401
+from .compression import (  # noqa: F401
+    COMPRESSION_BLOCK_SIZE,
+    TermPostingsReader,
+    bit_width,
+    bitpack,
+    bitunpack,
+    encode_term_postings,
+)
+from .manifest import (  # noqa: F401
+    IndexManifest,
+    completed_segment_ords,
+    load_manifest,
+    write_manifest,
+)
+from .segment import SegmentReader, build_segment_from_table, segment_dir_name  # noqa: F401

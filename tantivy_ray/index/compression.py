@@ -1,0 +1,187 @@
+"""Posting-list block compression — delta + bitpacked 128-doc blocks with
+skip entries and block-max (WAND) metadata.
+
+Functional re-expression of the reference's posting format
+(/root/reference/src/postings/compression/mod.rs:3-77 — COMPRESSION_BLOCK_SIZE
+= 128, delta + bitpack; /root/reference/src/postings/skip.rs:55-90 — per-block
+skip entry: last_doc, bitwidths, block-max (fieldnorm_id, tf) pair;
+/root/reference/src/postings/serializer.rs:404-428 — the pair stored is the
+one maximizing the segment-local tf factor).
+
+Differences (documented, results-equivalent):
+- the tail block (<128 docs) is bitpacked like full blocks instead of
+  vint-encoded (same information, simpler vectorized decode);
+- skip data is laid out struct-of-arrays so a reader can view it zero-copy
+  with ``np.frombuffer`` on an mmap.
+
+Per-term blob layout (little-endian):
+    u32 doc_freq
+    u32 n_blocks
+    -- skip section (SoA) --
+    u32[n_blocks]  last_doc
+    u8 [n_blocks]  doc_bitwidth
+    u8 [n_blocks]  tf_bitwidth
+    u8 [n_blocks]  wand_fieldnorm_id
+    u32[n_blocks]  wand_tf
+    u32[n_blocks]  data_offset        (relative to data section start)
+    -- data section --
+    per block: bitpacked doc deltas then bitpacked tfs
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+COMPRESSION_BLOCK_SIZE = 128
+
+_BIT_WEIGHTS = (1 << np.arange(32, dtype=np.uint64))
+
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent max_value (0 → 0 bits)."""
+    return int(max_value).bit_length()
+
+
+def bitpack(values: np.ndarray, width: int) -> bytes:
+    """Pack uint32 values into `width`-bit little-endian-bit-order codes."""
+    if width == 0 or len(values) == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint32)
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint32)) & 1).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def bitunpack(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Inverse of bitpack. `buf` is a uint8 array (may be an mmap view)."""
+    if width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    bits = np.unpackbits(buf, count=n * width, bitorder="little").reshape(n, width)
+    return (bits.astype(np.uint64) * _BIT_WEIGHTS[:width]).sum(axis=1).astype(np.uint32)
+
+
+def packed_size(n: int, width: int) -> int:
+    return (n * width + 7) // 8
+
+
+def encode_term_postings(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    fieldnorm_ids: np.ndarray,
+    local_tf_cache: np.ndarray,
+) -> bytes:
+    """Encode one term's posting list.
+
+    docs: strictly increasing uint32 doc ids; tfs: uint32 term freqs;
+    fieldnorm_ids: uint8 per-doc fieldnorm ids (indexed by doc id);
+    local_tf_cache: 256-entry f32 cache built from the SEGMENT-LOCAL average
+    fieldnorm (reference serializer.rs:120-135) used only to select the
+    block-max (fieldnorm_id, tf) pair.
+    """
+    n = len(docs)
+    docs = np.ascontiguousarray(docs, dtype=np.uint32)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+    nb = (n + COMPRESSION_BLOCK_SIZE - 1) // COMPRESSION_BLOCK_SIZE
+
+    deltas = np.empty(n, dtype=np.uint32)
+    deltas[0] = docs[0] + 1  # delta from virtual previous doc -1
+    np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+
+    fids = fieldnorm_ids[docs]
+    tf_factor = tfs.astype(np.float32) / (
+        tfs.astype(np.float32) + local_tf_cache[fids]
+    )
+
+    last_doc = np.empty(nb, dtype=np.uint32)
+    doc_bw = np.empty(nb, dtype=np.uint8)
+    tf_bw = np.empty(nb, dtype=np.uint8)
+    wand_fid = np.empty(nb, dtype=np.uint8)
+    wand_tf = np.empty(nb, dtype=np.uint32)
+    data_off = np.empty(nb, dtype=np.uint32)
+
+    chunks: List[bytes] = []
+    off = 0
+    for b in range(nb):
+        s = b * COMPRESSION_BLOCK_SIZE
+        e = min(s + COMPRESSION_BLOCK_SIZE, n)
+        d = deltas[s:e]
+        t = tfs[s:e]
+        dbw = bit_width(int(d.max()))
+        tbw = bit_width(int(t.max()))
+        last_doc[b] = docs[e - 1]
+        doc_bw[b] = dbw
+        tf_bw[b] = tbw
+        best = s + int(np.argmax(tf_factor[s:e]))
+        wand_fid[b] = fids[best]
+        wand_tf[b] = tfs[best]
+        data_off[b] = off
+        blk = bitpack(d, dbw) + bitpack(t, tbw)
+        chunks.append(blk)
+        off += len(blk)
+
+    header = np.array([n, nb], dtype=np.uint32).tobytes()
+    skip = (
+        last_doc.tobytes()
+        + doc_bw.tobytes()
+        + tf_bw.tobytes()
+        + wand_fid.tobytes()
+        + wand_tf.tobytes()
+        + data_off.tobytes()
+    )
+    return header + skip + b"".join(chunks)
+
+
+class TermPostingsReader:
+    """Zero-copy cursor over one term's encoded blob (mmap-friendly)."""
+
+    __slots__ = (
+        "doc_freq", "n_blocks", "last_doc", "doc_bw", "tf_bw",
+        "wand_fid", "wand_tf", "data_off", "_data",
+    )
+
+    def __init__(self, buf: np.ndarray):
+        """buf: uint8 ndarray view of the term's blob."""
+        header = np.frombuffer(buf[:8], dtype=np.uint32)
+        self.doc_freq = int(header[0])
+        nb = self.n_blocks = int(header[1])
+        o = 8
+        self.last_doc = np.frombuffer(buf[o:o + 4 * nb], dtype=np.uint32); o += 4 * nb
+        self.doc_bw = np.frombuffer(buf[o:o + nb], dtype=np.uint8); o += nb
+        self.tf_bw = np.frombuffer(buf[o:o + nb], dtype=np.uint8); o += nb
+        self.wand_fid = np.frombuffer(buf[o:o + nb], dtype=np.uint8); o += nb
+        self.wand_tf = np.frombuffer(buf[o:o + 4 * nb], dtype=np.uint32); o += 4 * nb
+        self.data_off = np.frombuffer(buf[o:o + 4 * nb], dtype=np.uint32); o += 4 * nb
+        self._data = buf[o:]
+
+    def block_count(self, b: int) -> int:
+        if b + 1 < self.n_blocks:
+            return COMPRESSION_BLOCK_SIZE
+        return self.doc_freq - b * COMPRESSION_BLOCK_SIZE
+
+    def decode_block(self, b: int) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (docs, tfs) for block b."""
+        cnt = self.block_count(b)
+        dbw = int(self.doc_bw[b])
+        tbw = int(self.tf_bw[b])
+        start = int(self.data_off[b])
+        dsize = packed_size(cnt, dbw)
+        deltas = bitunpack(self._data[start:start + dsize], cnt, dbw)
+        tfs = bitunpack(self._data[start + dsize:start + dsize + packed_size(cnt, tbw)],
+                        cnt, tbw)
+        base = np.uint32(self.last_doc[b - 1]) if b > 0 else np.uint32(0)
+        docs = np.cumsum(deltas, dtype=np.uint32)
+        docs += base if b > 0 else np.uint32(0)
+        docs -= 1 if b == 0 else 0
+        return docs, tfs
+
+    def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (docs, tfs) for the whole list."""
+        if self.doc_freq == 0:
+            z = np.empty(0, dtype=np.uint32)
+            return z, z
+        parts = [self.decode_block(b) for b in range(self.n_blocks)]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))

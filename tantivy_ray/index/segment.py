@@ -1,0 +1,331 @@
+"""Segment build + read.
+
+A segment is the unit of parallel index construction: one input partition →
+one immutable mini-index (reference: segments with per-component files,
+/root/reference/src/index/segment_component.rs:9-31; arena build + serialize
+/root/reference/src/indexer/segment_writer.rs, src/postings/serializer.rs).
+
+Our Ray-Data-first shape: the in-memory arena of the reference is replaced by
+vectorized numpy group-bys over one Arrow partition; doc ids are the row
+ordinals of the partition (dense u32, insertion order — reference
+src/lib.rs:298), so global identity is (segment_ord, doc_id) exactly like
+tantivy's DocAddress (src/lib.rs:338).
+
+Segment directory layout:
+    seg-{ord:05d}/
+        terms.parquet     term:string (sorted), doc_freq:uint32,
+                          postings_offset:int64, postings_len:int64
+                          [, positions_offset:int64, positions_len:int64]
+        postings.bin      concatenated per-term blobs (compression.py)
+        positions.bin     optional: per-term delta-encoded positions (vint-free
+                          u32 stream; layout in encode docstring)
+        fieldnorms.bin    uint8[num_docs] fieldnorm ids
+        docs.parquet      doc_id:uint32, <id_col> (doc store key mapping; the
+                          row-oriented store itself is the source parquet,
+                          reference's LZ4 block store ↔ parquet row groups)
+        meta.json         stats + lineage + metrics (written last = commit)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analyzer import analyze_batch
+from ..bm25 import compute_tf_cache
+from ..fieldnorm import fieldnorms_to_ids, ids_to_fieldnorms
+from .compression import TermPostingsReader, encode_term_postings
+
+SEGMENT_PREFIX = "seg-"
+
+
+def segment_dir_name(segment_ord: int) -> str:
+    return f"{SEGMENT_PREFIX}{segment_ord:05d}"
+
+
+def build_segment_from_table(
+    table: pa.Table,
+    segment_ord: int,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "url",
+    analyzer: str = "default",
+    record_positions: bool = False,
+    lineage: Optional[Dict] = None,
+) -> Dict:
+    """Tokenize + invert one partition and serialize the segment.
+
+    Returns the manifest entry (also persisted as meta.json — writing
+    meta.json last makes the segment build atomic-on-rerun: a partial
+    directory without meta.json is treated as absent and rebuilt).
+    """
+    t0 = time.time()
+    num_docs = table.num_rows
+    analyzed = analyze_batch(
+        table.column(text_col), analyzer, with_positions=record_positions
+    )
+    num_tokens = int(analyzed.num_tokens.sum())
+
+    fieldnorm_ids = fieldnorms_to_ids(analyzed.num_tokens.astype(np.uint32))
+    # segment-local average fieldnorm drives block-max pair selection only
+    # (reference src/postings/serializer.rs:120-135)
+    avg_local = np.float32(num_tokens / max(1, num_docs))
+    local_cache = compute_tf_cache(avg_local)
+
+    tokens = analyzed.tokens
+    counts = analyzed.num_tokens
+    flat = tokens.values
+    doc_of_token = np.repeat(
+        np.arange(num_docs, dtype=np.uint32), counts.astype(np.int64)
+    )
+
+    seg_path = os.path.join(out_dir, segment_dir_name(segment_ord))
+    os.makedirs(seg_path, exist_ok=True)
+
+    if len(flat) == 0:
+        terms_sorted = pa.array([], type=pa.string())
+        doc_freqs = np.empty(0, dtype=np.uint32)
+        offsets = np.empty(0, dtype=np.int64)
+        lens = np.empty(0, dtype=np.int64)
+        pos_offsets = np.empty(0, dtype=np.int64)
+        pos_lens = np.empty(0, dtype=np.int64)
+        blob = b""
+        pos_blob = b""
+    else:
+        dict_arr = pc.dictionary_encode(flat)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab: pa.Array = dict_arr.dictionary
+
+        # sorted term order (term dict is a sorted map — reference
+        # src/termdict/mod.rs:21-29; sorted table replaces the FST)
+        sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank_of_code = np.empty(len(sort_idx), dtype=np.int64)
+        rank_of_code[sort_idx] = np.arange(len(sort_idx))
+
+        term_rank = rank_of_code[codes]
+        # stable sort by (term_rank, doc) — stability keeps positions ascending
+        order = np.lexsort((doc_of_token, term_rank))
+        tr_sorted = term_rank[order]
+        doc_sorted = doc_of_token[order]
+
+        # run-length over (term_rank, doc) → tf per posting
+        pair_change = np.empty(len(order), dtype=bool)
+        pair_change[0] = True
+        np.logical_or(
+            tr_sorted[1:] != tr_sorted[:-1],
+            doc_sorted[1:] != doc_sorted[:-1],
+            out=pair_change[1:],
+        )
+        posting_starts = np.flatnonzero(pair_change)
+        posting_ends = np.append(posting_starts[1:], len(order))
+        tfs_all = (posting_ends - posting_starts).astype(np.uint32)
+        post_docs = doc_sorted[posting_starts]
+        post_rank = tr_sorted[posting_starts]
+
+        # per-term posting ranges
+        term_change = np.empty(len(post_rank), dtype=bool)
+        term_change[0] = True
+        term_change[1:] = post_rank[1:] != post_rank[:-1]
+        term_starts = np.flatnonzero(term_change)
+        term_ends = np.append(term_starts[1:], len(post_rank))
+        present_ranks = post_rank[term_starts]
+
+        terms_sorted = vocab.take(
+            pa.array(sort_idx[present_ranks], type=pa.int64())
+        )
+        n_terms = len(term_starts)
+        doc_freqs = (term_ends - term_starts).astype(np.uint32)
+        offsets = np.empty(n_terms, dtype=np.int64)
+        lens = np.empty(n_terms, dtype=np.int64)
+
+        positions_sorted = None
+        pos_offsets = np.empty(n_terms, dtype=np.int64)
+        pos_lens = np.empty(n_terms, dtype=np.int64)
+        if record_positions:
+            positions_sorted = (
+                analyzed.positions.values.to_numpy(zero_copy_only=False)
+                .astype(np.uint32)[order]
+            )
+
+        chunks: List[bytes] = []
+        pos_chunks: List[bytes] = []
+        off = 0
+        pos_off = 0
+        for i in range(n_terms):
+            s, e = term_starts[i], term_ends[i]
+            blob_i = encode_term_postings(
+                post_docs[s:e], tfs_all[s:e], fieldnorm_ids, local_cache
+            )
+            offsets[i] = off
+            lens[i] = len(blob_i)
+            off += len(blob_i)
+            chunks.append(blob_i)
+            if record_positions:
+                # positions stream for the term: for each posting (in doc
+                # order) its tf positions, delta-encoded within the doc
+                tok_s, tok_e = posting_starts[s], posting_ends[e - 1]
+                pos_slice = positions_sorted[tok_s:tok_e]
+                d = pos_slice.copy()
+                d[1:] -= pos_slice[:-1]
+                # reset delta at posting boundaries (first position absolute)
+                starts_rel = posting_starts[s:e] - tok_s
+                d[starts_rel] = pos_slice[starts_rel]
+                pb = d.astype(np.uint32).tobytes()
+                pos_offsets[i] = pos_off
+                pos_lens[i] = len(pb)
+                pos_off += len(pb)
+                pos_chunks.append(pb)
+            else:
+                pos_offsets[i] = -1
+                pos_lens[i] = 0
+        blob = b"".join(chunks)
+        pos_blob = b"".join(pos_chunks)
+
+    with open(os.path.join(seg_path, "postings.bin"), "wb") as f:
+        f.write(blob)
+    if record_positions:
+        with open(os.path.join(seg_path, "positions.bin"), "wb") as f:
+            f.write(pos_blob)
+    with open(os.path.join(seg_path, "fieldnorms.bin"), "wb") as f:
+        f.write(fieldnorm_ids.tobytes())
+
+    term_table = pa.table(
+        {
+            "term": terms_sorted,
+            "doc_freq": pa.array(doc_freqs, type=pa.uint32()),
+            "postings_offset": pa.array(offsets, type=pa.int64()),
+            "postings_len": pa.array(lens, type=pa.int64()),
+            "positions_offset": pa.array(pos_offsets, type=pa.int64()),
+            "positions_len": pa.array(pos_lens, type=pa.int64()),
+        }
+    )
+    pq.write_table(term_table, os.path.join(seg_path, "terms.parquet"))
+
+    doc_table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(num_docs, dtype=np.uint32)),
+            id_col: table.column(id_col),
+        }
+    )
+    pq.write_table(doc_table, os.path.join(seg_path, "docs.parquet"))
+
+    meta = {
+        "segment_ord": segment_ord,
+        "num_docs": num_docs,
+        "num_tokens": num_tokens,
+        "num_terms": len(term_table),
+        "analyzer": analyzer,
+        "record_positions": record_positions,
+        "lineage": lineage or {},
+        "metrics": {
+            "build_secs": round(time.time() - t0, 4),
+            "postings_bytes": len(blob),
+        },
+    }
+    # meta.json written LAST: its presence marks the segment complete
+    # (atomic commit analog of the reference's meta.json rename,
+    # ARCHITECTURE.md §core)
+    tmp = os.path.join(seg_path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(seg_path, "meta.json"))
+    return meta
+
+
+class SegmentReader:
+    """Point-in-time reader over one sealed segment (reference
+    src/core/searcher.rs SegmentReader). Loads the term dict once
+    (dict lookup replaces the FST automaton) and mmaps postings."""
+
+    def __init__(self, seg_path: str):
+        self.path = seg_path
+        with open(os.path.join(seg_path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.segment_ord = self.meta["segment_ord"]
+        self.num_docs = self.meta["num_docs"]
+        self.num_tokens = self.meta["num_tokens"]
+
+        tt = pq.read_table(os.path.join(seg_path, "terms.parquet"))
+        self._terms = tt.column("term").to_pylist()
+        self._term_ord = {t: i for i, t in enumerate(self._terms)}
+        self._doc_freq = tt.column("doc_freq").to_numpy()
+        self._off = tt.column("postings_offset").to_numpy()
+        self._len = tt.column("postings_len").to_numpy()
+        self._pos_off = tt.column("positions_offset").to_numpy()
+        self._pos_len = tt.column("positions_len").to_numpy()
+
+        p = os.path.join(seg_path, "postings.bin")
+        self._postings = (
+            np.memmap(p, dtype=np.uint8, mode="r")
+            if os.path.getsize(p) > 0
+            else np.empty(0, dtype=np.uint8)
+        )
+        pp = os.path.join(seg_path, "positions.bin")
+        self._positions_blob = (
+            np.memmap(pp, dtype=np.uint8, mode="r")
+            if os.path.exists(pp) and os.path.getsize(pp) > 0
+            else None
+        )
+        self.fieldnorm_ids = np.fromfile(
+            os.path.join(seg_path, "fieldnorms.bin"), dtype=np.uint8
+        )
+
+    # --- term dict ---
+    def term_ord(self, term: str) -> Optional[int]:
+        return self._term_ord.get(term)
+
+    def doc_freq(self, term: str) -> int:
+        o = self._term_ord.get(term)
+        return int(self._doc_freq[o]) if o is not None else 0
+
+    def num_terms(self) -> int:
+        return len(self._terms)
+
+    def terms(self) -> List[str]:
+        return self._terms
+
+    def postings_reader(self, term: str) -> Optional[TermPostingsReader]:
+        o = self._term_ord.get(term)
+        if o is None:
+            return None
+        s = int(self._off[o])
+        return TermPostingsReader(self._postings[s:s + int(self._len[o])])
+
+    def postings(self, term: str):
+        """→ (docs, tfs) fully decoded, or None."""
+        r = self.postings_reader(term)
+        if r is None:
+            return None
+        return r.decode_all()
+
+    def positions(self, term: str) -> Optional[List[np.ndarray]]:
+        """Per-posting position arrays (absolute), doc order."""
+        o = self._term_ord.get(term)
+        if o is None or self._positions_blob is None or self._pos_off[o] < 0:
+            return None
+        s = int(self._pos_off[o])
+        raw = np.frombuffer(
+            self._positions_blob[s:s + int(self._pos_len[o])], dtype=np.uint32
+        )
+        r = self.postings_reader(term)
+        docs, tfs = r.decode_all()
+        out = []
+        idx = 0
+        for tf in tfs:
+            d = raw[idx:idx + int(tf)]
+            out.append(np.cumsum(d, dtype=np.uint32))
+            idx += int(tf)
+        return out
+
+    def doc_keys(self, id_col: str = "url") -> pa.Table:
+        return pq.read_table(os.path.join(self.path, "docs.parquet"))
+
+    def fieldnorms(self) -> np.ndarray:
+        return ids_to_fieldnorms(self.fieldnorm_ids)

@@ -1,0 +1,6 @@
+from .searcher import (  # noqa: F401
+    IndexSearcher,
+    SegmentSearcher,
+    merge_topk,
+)
+from .wand import block_max_wand_topk  # noqa: F401

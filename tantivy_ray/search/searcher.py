@@ -1,0 +1,208 @@
+"""Searcher — BM25 top-k over sealed segments.
+
+Mirrors the reference's read path (SURVEY §3.2): a Searcher is an immutable
+snapshot over SegmentReaders (/root/reference/src/core/searcher.rs); a query
+builds one Bm25Weight per term from GLOBAL statistics (doc_freq summed over
+all segments, total docs / tokens from the manifest —
+/root/reference/src/query/bm25.rs:27-50), scores each segment independently,
+and merges per-segment top-k with the collector's tie rule: score
+descending, then (segment_ord, doc_id) ascending; the heap uses strict `>`
+so the lowest DocAddress wins ties
+(/root/reference/src/collector/sort_key/mod.rs:20-35).
+
+Two scorer paths, rank-identical by construction and property-tested
+against each other (like the reference's proptest on block_wand —
+/root/reference/src/query/boolean_query/block_wand_union.rs:293-619):
+- exhaustive: fully vectorized numpy accumulation (fast for small/medium
+  doc_freq — the default here);
+- block-max WAND (wand.py): skips 128-doc blocks whose score bound cannot
+  beat the running threshold (the 10^12-doc scale path).
+
+Score arithmetic is f32 end-to-end; per-doc sums add term contributions in
+term order (the reference's BufferedUnionScorer accumulates scorers in
+order — src/query/union/buffered_union.rs:11-70).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..analyzer import analyze_batch, get_analyzer
+from ..bm25 import Bm25Weight
+from ..index.manifest import IndexManifest, load_manifest
+from ..index.segment import SegmentReader, segment_dir_name
+from .wand import block_max_wand_topk
+
+TopHit = Tuple[float, int, int]  # (score_f32, segment_ord, doc_id)
+
+
+def merge_topk(hits: Sequence[TopHit], k: int) -> List[TopHit]:
+    """merge_fruits: sort (score desc, (seg, doc) asc), truncate k
+    (reference src/collector/mod.rs:167-180)."""
+    return sorted(hits, key=lambda h: (-h[0], h[1], h[2]))[:k]
+
+
+class SegmentSearcher:
+    """Per-segment scoring (the reference's per-segment collect)."""
+
+    def __init__(self, reader: SegmentReader):
+        self.reader = reader
+
+    def score_exhaustive(
+        self, terms: Sequence[str], weights: Sequence[Bm25Weight], mode: str
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (matching doc ids ascending, f32 scores)."""
+        n_docs = self.reader.num_docs
+        fids = self.reader.fieldnorm_ids
+        acc = np.zeros(n_docs, dtype=np.float32)
+        match_count = np.zeros(n_docs, dtype=np.int32)
+        n_present = 0
+        for term, w in zip(terms, weights):
+            p = self.reader.postings(term)
+            if p is None:
+                continue
+            n_present += 1
+            docs, tfs = p
+            acc[docs] += w.score(fids[docs], tfs)
+            match_count[docs] += 1
+        if mode == "and":
+            if n_present < len(terms):
+                return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float32)
+            cand = np.flatnonzero(match_count == len(terms)).astype(np.uint32)
+        else:
+            cand = np.flatnonzero(match_count > 0).astype(np.uint32)
+        return cand, acc[cand]
+
+    def topk(
+        self,
+        terms: Sequence[str],
+        weights: Sequence[Bm25Weight],
+        mode: str,
+        k: int,
+        use_wand: bool = False,
+    ) -> List[TopHit]:
+        if use_wand and mode == "or":
+            readers = []
+            ws = []
+            for term, w in zip(terms, weights):
+                r = self.reader.postings_reader(term)
+                if r is not None:
+                    readers.append(r)
+                    ws.append(w)
+            if not readers:
+                return []
+            docs, scores = block_max_wand_topk(
+                readers, ws, self.reader.fieldnorm_ids, k
+            )
+        else:
+            docs, scores = self.score_exhaustive(terms, weights, mode)
+            if len(docs) > k:
+                # exact top-k with tie rule: find the kth-largest score, keep
+                # everything >= it (ties included), then lexsort that slice
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                keep = scores >= kth
+                docs, scores = docs[keep], scores[keep]
+            order = np.lexsort((docs, -scores))[:k]
+            docs, scores = docs[order], scores[order]
+        seg = self.reader.segment_ord
+        return [(float(s), seg, int(d)) for d, s in zip(docs, scores)]
+
+
+class IndexSearcher:
+    """Snapshot searcher over a set of segments (all by default, or a shard).
+
+    For sharded use the caller must pass global doc_freqs (the shard only
+    sees its own segments); with all segments loaded, stats are exact
+    locally."""
+
+    def __init__(self, index_dir: str, segment_ords: Optional[Sequence[int]] = None,
+                 manifest: Optional[IndexManifest] = None):
+        self.index_dir = index_dir
+        self.manifest = manifest or load_manifest(index_dir)
+        ords = (
+            [s["segment_ord"] for s in self.manifest.segments]
+            if segment_ords is None
+            else list(segment_ords)
+        )
+        self.readers = [
+            SegmentReader(os.path.join(index_dir, segment_dir_name(o)))
+            for o in ords
+        ]
+        self.searchers = [SegmentSearcher(r) for r in self.readers]
+        self.total_num_docs = self.manifest.total_num_docs
+        self.average_fieldnorm = np.float32(
+            np.float32(self.manifest.total_num_tokens)
+            / np.float32(max(1, self.manifest.total_num_docs))
+        )
+
+    # --- stats ---
+    def doc_freq(self, term: str) -> int:
+        return sum(r.doc_freq(term) for r in self.readers)
+
+    def doc_freqs(self, terms: Sequence[str]) -> Dict[str, int]:
+        return {t: self.doc_freq(t) for t in terms}
+
+    def make_weights(
+        self, terms: Sequence[str], doc_freqs: Optional[Dict[str, int]] = None,
+        boosts: Optional[Sequence[float]] = None,
+    ) -> List[Bm25Weight]:
+        dfs = doc_freqs or self.doc_freqs(terms)
+        ws = []
+        for i, t in enumerate(terms):
+            df = dfs.get(t, 0)
+            w = Bm25Weight.for_one_term(
+                max(df, 1) if df else 1, self.total_num_docs, self.average_fieldnorm
+            ) if df > 0 else Bm25Weight.for_one_term(1, self.total_num_docs, self.average_fieldnorm)
+            if boosts is not None and boosts[i] != 1.0:
+                w = w.boost_by(boosts[i])
+            ws.append(w)
+        return ws
+
+    # --- queries ---
+    def search(
+        self,
+        terms: Sequence[str],
+        mode: str = "or",
+        k: int = 10,
+        doc_freqs: Optional[Dict[str, int]] = None,
+        use_wand: bool = False,
+    ) -> List[TopHit]:
+        """Pre-analyzed terms → global top-k (rank-identical semantics)."""
+        terms = list(terms)
+        if not terms:
+            return []
+        weights = self.make_weights(terms, doc_freqs)
+        hits: List[TopHit] = []
+        for s in self.searchers:
+            hits.extend(s.topk(terms, weights, mode, k, use_wand=use_wand))
+        return merge_topk(hits, k)
+
+    def search_text(self, query: str, mode: str = "or", k: int = 10,
+                    use_wand: bool = False) -> List[TopHit]:
+        ana = get_analyzer(self.manifest.analyzer)
+        terms = [t.text for t in ana.analyze(query)]
+        return self.search(terms, mode, k, use_wand=use_wand)
+
+    def hydrate(self, hits: Sequence[TopHit]):
+        """(score, seg, doc) → list of dicts with the stored id column."""
+        out = []
+        by_seg: Dict[int, List[Tuple[int, int]]] = {}
+        for i, (_, seg, doc) in enumerate(hits):
+            by_seg.setdefault(seg, []).append((i, doc))
+        id_col = self.manifest.id_col
+        keys: Dict[int, str] = {}
+        seg_of = {r.segment_ord: r for r in self.readers}
+        for seg, items in by_seg.items():
+            t = seg_of[seg].doc_keys()
+            vals = t.column(id_col)
+            for i, doc in items:
+                keys[i] = vals[doc].as_py()
+        for i, (score, seg, doc) in enumerate(hits):
+            out.append({
+                "score": score, "segment_ord": seg, "doc_id": doc,
+                id_col: keys[i],
+            })
+        return out

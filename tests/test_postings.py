@@ -1,0 +1,154 @@
+"""Posting compression + segment build unit tests (reference test model:
+src/postings/skip.rs:305-463, src/postings/mod.rs:44+)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tantivy_ray.bm25 import compute_tf_cache
+from tantivy_ray.fieldnorm import fieldnorms_to_ids
+from tantivy_ray.index.compression import (
+    COMPRESSION_BLOCK_SIZE,
+    TermPostingsReader,
+    bit_width,
+    bitpack,
+    bitunpack,
+    encode_term_postings,
+)
+from tantivy_ray.index.segment import SegmentReader, build_segment_from_table
+
+
+class TestBitpack:
+    @pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 17, 24, 31, 32])
+    def test_roundtrip(self, width):
+        rs = np.random.RandomState(width)
+        hi = (1 << width) if width else 1
+        vals = rs.randint(0, hi, size=257, dtype=np.uint64).astype(np.uint32)
+        packed = np.frombuffer(bitpack(vals, width), dtype=np.uint8)
+        out = bitunpack(packed, len(vals), width)
+        assert (out == vals).all()
+
+    def test_bit_width(self):
+        assert bit_width(0) == 0
+        assert bit_width(1) == 1
+        assert bit_width(127) == 7
+        assert bit_width(128) == 8
+        assert bit_width(2**32 - 1) == 32
+
+
+def _random_postings(rs, n, max_doc, max_tf=10):
+    docs = np.sort(rs.choice(max_doc, size=n, replace=False)).astype(np.uint32)
+    tfs = rs.randint(1, max_tf + 1, size=n).astype(np.uint32)
+    return docs, tfs
+
+
+class TestTermPostings:
+    @pytest.mark.parametrize("n", [1, 5, 127, 128, 129, 300, 1000])
+    def test_roundtrip(self, n):
+        rs = np.random.RandomState(n)
+        docs, tfs = _random_postings(rs, n, max_doc=max(4 * n, 50))
+        fids = fieldnorms_to_ids(
+            rs.randint(1, 500, size=int(docs.max()) + 1).astype(np.uint32)
+        )
+        cache = compute_tf_cache(np.float32(12.0))
+        blob = np.frombuffer(
+            encode_term_postings(docs, tfs, fids, cache), dtype=np.uint8
+        )
+        r = TermPostingsReader(blob)
+        assert r.doc_freq == n
+        assert r.n_blocks == (n + COMPRESSION_BLOCK_SIZE - 1) // COMPRESSION_BLOCK_SIZE
+        out_docs, out_tfs = r.decode_all()
+        assert (out_docs == docs).all()
+        assert (out_tfs == tfs).all()
+        # skip info: last_doc per block correct
+        for b in range(r.n_blocks):
+            bd, bt = r.decode_block(b)
+            assert bd[-1] == r.last_doc[b]
+            cnt = r.block_count(b)
+            assert len(bd) == cnt
+
+    def test_blockwand_pair_is_max_tf_factor(self):
+        rs = np.random.RandomState(7)
+        docs, tfs = _random_postings(rs, 200, 1000, max_tf=50)
+        fn = rs.randint(1, 300, size=1001).astype(np.uint32)
+        fids = fieldnorms_to_ids(fn)
+        cache = compute_tf_cache(np.float32(20.0))
+        r = TermPostingsReader(
+            np.frombuffer(encode_term_postings(docs, tfs, fids, cache), dtype=np.uint8)
+        )
+        for b in range(r.n_blocks):
+            bd, bt = r.decode_block(b)
+            f = bt.astype(np.float32) / (bt.astype(np.float32) + cache[fids[bd]])
+            stored = np.float32(r.wand_tf[b]) / (
+                np.float32(r.wand_tf[b]) + cache[r.wand_fid[b]]
+            )
+            assert stored >= f.max() - 1e-7
+
+
+class TestSegmentBuild:
+    def _table(self):
+        texts = [
+            "the quick brown fox",
+            "the lazy dog and the fox",
+            "",
+            "quick quick quick",
+            "dog",
+        ]
+        urls = [f"http://x/{i}" for i in range(len(texts))]
+        return pa.table({"url": urls, "text": texts})
+
+    def test_build_and_read(self, tmp_path):
+        meta = build_segment_from_table(
+            self._table(), 0, str(tmp_path), record_positions=True
+        )
+        assert meta["num_docs"] == 5
+        assert meta["num_tokens"] == 4 + 6 + 0 + 3 + 1
+        r = SegmentReader(str(tmp_path / "seg-00000"))
+        assert r.num_docs == 5
+        # doc_freq checks
+        assert r.doc_freq("the") == 2
+        assert r.doc_freq("fox") == 2
+        assert r.doc_freq("quick") == 2
+        assert r.doc_freq("missing") == 0
+        docs, tfs = r.postings("the")
+        assert docs.tolist() == [0, 1] and tfs.tolist() == [1, 2]
+        docs, tfs = r.postings("quick")
+        assert docs.tolist() == [0, 3] and tfs.tolist() == [1, 3]
+        # terms sorted
+        terms = r.terms()
+        assert terms == sorted(terms)
+        # fieldnorms
+        assert r.fieldnorm_ids.tolist() == [4, 6, 0, 3, 1]
+
+    def test_positions(self, tmp_path):
+        build_segment_from_table(
+            self._table(), 0, str(tmp_path), record_positions=True
+        )
+        r = SegmentReader(str(tmp_path / "seg-00000"))
+        pos = r.positions("the")
+        # doc0: "the" at position 0; doc1 "the lazy dog and the fox": 0 and 4
+        assert pos[0].tolist() == [0]
+        assert pos[1].tolist() == [0, 4]
+        pos = r.positions("quick")
+        assert pos[0].tolist() == [1]
+        assert pos[1].tolist() == [0, 1, 2]
+
+    def test_empty_table(self, tmp_path):
+        t = pa.table({"url": pa.array([], type=pa.string()),
+                      "text": pa.array([], type=pa.string())})
+        meta = build_segment_from_table(t, 3, str(tmp_path))
+        assert meta["num_docs"] == 0 and meta["num_terms"] == 0
+        r = SegmentReader(str(tmp_path / "seg-00003"))
+        assert r.postings("x") is None
+
+    def test_posting_spanning_blocks(self, tmp_path):
+        # one term in >128 docs → full block + tail (FIXTURES requirement)
+        texts = [f"common word{i % 7}" for i in range(300)]
+        t = pa.table({"url": [str(i) for i in range(300)], "text": texts})
+        build_segment_from_table(t, 0, str(tmp_path))
+        r = SegmentReader(str(tmp_path / "seg-00000"))
+        docs, tfs = r.postings("common")
+        assert len(docs) == 300
+        assert docs.tolist() == list(range(300))
+        pr = r.postings_reader("common")
+        assert pr.n_blocks == 3
