@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "queries_per_sec": ...}
+
+--scaling: runs the same job in two fresh processes (RAY_GRAFT_CPUS=8 and
+32) on the same input and reports both throughputs + scaling efficiency
+(BASELINE.md criterion: efficiency = (T_8 / T_32) / (32/8) >= 0.8).
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/tantivy_ray_bench"
+PAGES_PER_DOC_ROW = 40           # sf0.1 (5000 docs) -> 200k pages
+N_PARTITIONS = 64                # fixed partition count at every cpu level
+                                 # (scaling runs compare identical plans)
+N_QUERY_BATCH = 300
+
+
+def _pages_path(n: int) -> str:
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    p = os.path.join(BENCH_ROOT, f"pages_{n}.parquet")
+    if not os.path.exists(p):
+        from tantivy_ray.pipelines import write_pages_parquet
+
+        write_pages_parquet(p, n, row_group_size=8192)
+    return p
+
+
+def run_bench() -> dict:
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import tantivy_ray  # noqa: F401 (PYTHONPATH for workers)
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from tantivy_ray.index import build_index
+    from tantivy_ray.index.merge import merge_segments
+    from tantivy_ray.pipelines import REFERENCE_QUERY_SET, search_pipeline
+    from tantivy_ray.pipelines import queries as q
+
+    n_doc_rows = pq.read_metadata(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).num_rows
+    n_pages = n_doc_rows * PAGES_PER_DOC_ROW
+    pages = _pages_path(n_pages)
+
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    with open(pages, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    stages = {}
+
+    # 1. index build (the headline): pages -> segments
+    ix = os.path.join(BENCH_ROOT, f"ix_{NUM_CPUS}")
+    shutil.rmtree(ix, ignore_errors=True)
+    t0 = time.time()
+    docs_per_segment = max(1000, -(-n_pages // N_PARTITIONS))
+    manifest = build_index(pages, ix, docs_per_segment=docs_per_segment)
+    t_build = time.time() - t0
+    stages["index_build"] = round(t_build, 3)
+    docs_per_sec = manifest.total_num_docs / t_build
+
+    # 2. batch query execution through the searcher actor pool
+    queries = [
+        (i, terms, mode, k)
+        for i in range(N_QUERY_BATCH)
+        for (qid, terms, mode, k) in [REFERENCE_QUERY_SET[i % len(REFERENCE_QUERY_SET)]]
+    ]
+    t0 = time.time()
+    search_pipeline(ix, queries, num_shards=1,
+                    concurrency=max(2, NUM_CPUS // 4), use_wand=False)
+    t_search = time.time() - t0
+    stages["search_batch"] = round(t_search, 3)
+    qps = len(queries) / t_search
+
+    # 3. the wide step: groupby-term merge with salting
+    merged = os.path.join(BENCH_ROOT, f"merged_{NUM_CPUS}")
+    shutil.rmtree(merged, ignore_errors=True)
+    t0 = time.time()
+    merge_segments(ix, merged, salt_block_docs=65_536, num_buckets=32)
+    stages["merge_groupby_term"] = round(time.time() - t0, 3)
+
+    # 4. analysis pipelines over the sf documents table
+    for name in ("token_counts", "term_doc_freqs", "topk_bm25"):
+        t0 = time.time()
+        q.QUERIES[name](SF_DIR)
+        stages[name] = round(time.time() - t0, 3)
+
+    headline = stages["index_build"] + stages["search_batch"]
+    out = {
+        "metric": "pages index build + BM25 batch search wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": stages,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_pages": int(manifest.total_num_docs),
+        "docs_per_sec": round(docs_per_sec, 1),
+        "queries_per_sec": round(qps, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["index_build"]
+    t_hi = r_hi["queries"]["index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "index build scaling efficiency N->4N (cpus 8->32)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "headline_8": r_lo["value"],
+        "headline_32": r_hi["value"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -210,7 +210,7 @@ def analyze_batch(
     if with_positions:
         # ordinal among nonempty values, per row, before drop-filters
         prefix = np.zeros(len(vals) + 1, dtype=np.int64)
-        np.cumsum(nonempty, out=prefix[1:])
+        np.cumsum(nonempty.astype(np.int64), out=prefix[1:])
         row_base = np.repeat(prefix[offsets[:-1]], row_counts_all)
         pos_all = (prefix[1:] - 1 - row_base if len(vals) else np.empty(0, dtype=np.int64))
         # prefix[1:]-1 is (count of nonempty up to and including i) - 1 ==
@@ -232,7 +232,7 @@ def analyze_batch(
     # counts of kept values per row
     if len(keep):
         kept_prefix = np.zeros(len(keep) + 1, dtype=np.int64)
-        np.cumsum(keep, out=kept_prefix[1:])
+        np.cumsum(keep.astype(np.int64), out=kept_prefix[1:])
         counts = kept_prefix[offsets[1:]] - kept_prefix[offsets[:-1]]
     else:
         counts = np.zeros(len(texts), dtype=np.int64)
@@ -240,7 +240,7 @@ def analyze_batch(
     if keep2_np is not None:
         # fold the stopword drop into per-row counts
         kp = np.zeros(len(keep2_np) + 1, dtype=np.int64)
-        np.cumsum(keep2_np, out=kp[1:])
+        np.cumsum(keep2_np.astype(np.int64), out=kp[1:])
         cum_row_end = np.zeros(len(texts) + 1, dtype=np.int64)
         np.cumsum(counts, out=cum_row_end[1:])
         counts = kp[cum_row_end[1:]] - kp[cum_row_end[:-1]]

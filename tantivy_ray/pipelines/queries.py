@@ -1,0 +1,560 @@
+"""Driver-contract query implementations + matching DuckDB oracle SQL.
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a pyarrow Table /
+pandas DataFrame computed with a Ray Data pipeline; ``ORACLE_SQL`` holds the
+equivalent ANSI SQL (DuckDB dialect) over the same parquet views.  Column
+names match exactly between the two (the driver hashes values under sorted
+column names).
+
+Conventions:
+- floats that cross the compare boundary are computed in float64 on BOTH
+  sides from the same integer inputs (exact);
+- ranking queries return (query_id, rank, id) only — scores stay internal
+  (engine scores are f32 by design, reference §2.10; SQL would be f64);
+- every pipeline prunes columns at the read and pre-aggregates inside
+  map_batches before any groupby.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..analyzer import ENGLISH_STOP_WORDS, analyze_batch
+from ..fieldnorm import FIELD_NORMS_TABLE
+from ..utils import remote_args
+
+# ----------------------------------------------------------------------
+# shared SQL fragments
+# ----------------------------------------------------------------------
+
+# default-analyzer tokens of documents.text as a DuckDB list expression
+TOKENS_EXPR = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), "
+    "x -> x <> '' AND strlen(x) < 40)"
+)
+
+TOK_CTE = (
+    "tok AS (SELECT doc_id, t.term FROM documents, "
+    f"unnest({TOKENS_EXPR}) AS t(term))"
+)
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+FNTAB_SQL = "fntab(v) AS (VALUES " + ", ".join(
+    f"({int(v)})" for v in FIELD_NORMS_TABLE
+) + ")"
+
+# Reference query set over the documents corpus vocabulary
+DOC_QUERIES: List[tuple] = [
+    (0, ["data", "fast"], "or", 10),
+    (1, ["merge"], "or", 10),
+    (2, ["table", "scan", "filter"], "or", 15),
+    (3, ["window", "batch"], "and", 10),
+    (4, ["spark", "stream", "vector"], "or", 10),
+    (5, ["customer", "nosuchterm"], "or", 10),
+    (6, ["nosuchterm"], "or", 5),
+    (7, ["key", "value"], "and", 12),
+    (8, ["dup"], "or", 25),
+    (9, ["the", "a"], "or", 20),
+]
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# ----------------------------------------------------------------------
+# 1. token counts (analyzer chain as a Dataset transform)
+# ----------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str) -> pa.Table:
+    """Per-doc num_tokens with the default analyzer (SURVEY §2.2)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = analyze_batch(batch.column("text"), "default")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "num_tokens": pa.array(out.num_tokens, type=pa.int64()),
+        })
+
+    res = ds.map_batches(f, batch_format="pyarrow", **remote_args())
+    return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+
+
+SQL_TOKEN_COUNTS = (
+    f"SELECT doc_id, len({TOKENS_EXPR}) AS num_tokens FROM documents"
+)
+
+
+# ----------------------------------------------------------------------
+# 2. term doc freqs (partial-per-batch + small groupby — SURVEY §2.5)
+# ----------------------------------------------------------------------
+
+def q_term_doc_freqs(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = analyze_batch(batch.column("text"), "default")
+        flat = out.tokens.values.to_pandas()
+        docs = np.repeat(np.arange(len(batch), dtype=np.int64),
+                         out.num_tokens)
+        df = pd.DataFrame({"term": flat, "doc": docs}).drop_duplicates()
+        part = df.groupby("term", sort=False).size().reset_index(name="df_part")
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+    agg = partials.groupby("term").aggregate(Sum("df_part", alias_name="doc_freq"))
+    pdf = agg.to_pandas()
+    pdf["doc_freq"] = pdf["doc_freq"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+SQL_TERM_DOC_FREQS = (
+    f"WITH {TOK_CTE} "
+    "SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term"
+)
+
+
+# ----------------------------------------------------------------------
+# 3. corpus stats (the BM25 global aggregate — SURVEY §2.5 last row)
+# ----------------------------------------------------------------------
+
+def q_corpus_stats(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = analyze_batch(batch.column("text"), "default")
+        return pa.table({
+            "docs_part": pa.array([len(batch)], type=pa.int64()),
+            "tokens_part": pa.array([int(out.num_tokens.sum())], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+    row = partials.aggregate(
+        Sum("docs_part", alias_name="total_num_docs"),
+        Sum("tokens_part", alias_name="total_num_tokens"),
+    )
+    return pa.table({
+        "total_num_docs": pa.array([row["total_num_docs"]], type=pa.int64()),
+        "total_num_tokens": pa.array([row["total_num_tokens"]], type=pa.int64()),
+    })
+
+
+SQL_CORPUS_STATS = (
+    f"SELECT (SELECT count(*) FROM documents) AS total_num_docs, "
+    f"(SELECT sum(len({TOKENS_EXPR})) FROM documents) AS total_num_tokens"
+)
+
+
+# ----------------------------------------------------------------------
+# 4. top terms (terms agg with deterministic tie-break — SURVEY §2.5)
+# ----------------------------------------------------------------------
+
+def q_top_terms(sf_dir: str, n: int = 20) -> pa.Table:
+    t = q_term_doc_freqs(sf_dir).to_pandas()
+    t = t.sort_values(["doc_freq", "term"], ascending=[False, True]).head(n)
+    t["rank"] = np.arange(len(t), dtype=np.int64)
+    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+
+
+SQL_TOP_TERMS = (
+    f"WITH {TOK_CTE}, df AS ("
+    "SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term) "
+    "SELECT term, doc_freq, "
+    "ROW_NUMBER() OVER (ORDER BY doc_freq DESC, term ASC) - 1 AS rank "
+    "FROM df ORDER BY doc_freq DESC, term ASC LIMIT 20"
+)
+
+
+# ----------------------------------------------------------------------
+# 5. BM25 top-k (the flagship: full index build + search parity)
+# ----------------------------------------------------------------------
+
+def _index_cache_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join("/tmp/tantivy_ray_cache", f"docs_ix_{tag}")
+
+
+def build_docs_index(sf_dir: str, docs_per_segment: int = 2000) -> str:
+    """Build (resume-aware, cached) the documents full-text index."""
+    from ..index.build import build_index
+
+    idx = _index_cache_dir(sf_dir)
+    manifest_path = os.path.join(idx, "manifest.json")
+    if not os.path.exists(manifest_path):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), idx,
+            text_col="text", id_col="doc_id",
+            docs_per_segment=docs_per_segment,
+        )
+    return idx
+
+
+def q_topk_bm25(sf_dir: str) -> pa.Table:
+    """Top-k BM25 for the reference query set → (query_id, rank, doc_id)."""
+    from .search_pipeline import search_pipeline
+    from ..search import IndexSearcher
+
+    idx = build_docs_index(sf_dir)
+    tbl = search_pipeline(idx, DOC_QUERIES, num_shards=1, concurrency=2)
+    # map (segment_ord, local doc) → original doc_id via the doc-key store
+    s = IndexSearcher(idx)
+    key_of = {}
+    for r in s.readers:
+        keys = r.doc_keys().column("doc_id").to_numpy()
+        key_of[r.segment_ord] = keys
+    pdf = tbl.to_pandas()
+    pdf["doc_id"] = [
+        int(key_of[seg][doc]) for seg, doc in zip(pdf.segment_ord, pdf.doc_id)
+    ]
+    pdf = pdf[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    pdf = pdf.astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _sql_topk_bm25() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _, _ in DOC_QUERIES for t in terms
+    )
+    qmeta = ", ".join(
+        f"({qid}, {len(terms)}, '{mode}', {k})"
+        for qid, terms, mode, k in DOC_QUERIES
+    )
+    return f"""
+WITH {TOK_CTE},
+{FNTAB_SQL},
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS n_tokens),
+fnorm AS (SELECT d.doc_id,
+          (SELECT max(v) FROM fntab WHERE v <= d.n) AS fn FROM doclen d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {qvals}),
+qmeta(query_id, n_terms, mode, k) AS (VALUES {qmeta}),
+scored AS (
+  -- the engine scores in float32 (reference src/lib.rs:314); mirror the
+  -- quantization by rounding each term contribution and the sum to FLOAT4
+  SELECT q.query_id, tf.doc_id,
+         CAST(sum(CAST(
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2
+             * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * fnorm.fn
+                        / (s.n_tokens * 1.0 / s.n_docs))) AS FLOAT4))
+           AS FLOAT4) AS score,
+         count(*) AS matched
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN fnorm ON fnorm.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id ASC) - 1 AS rank
+  FROM scored sc JOIN qmeta m ON m.query_id = sc.query_id
+  WHERE m.mode = 'or' OR sc.matched = m.n_terms
+)
+SELECT r.query_id, r.rank, r.doc_id
+FROM ranked r JOIN qmeta m ON m.query_id = r.query_id
+WHERE r.rank < m.k
+"""
+
+
+# ----------------------------------------------------------------------
+# 6. exact dedup (hash-partition keep-first — SURVEY §2.7)
+# ----------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.sha256(t.encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array(h, type=pa.string()),
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", **remote_args())
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
+
+    kept = hashed.groupby("h").map_groups(
+        keep_first, batch_format="pandas", **remote_args()
+    )
+    pdf = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+)
+
+
+# ----------------------------------------------------------------------
+# 7. document fingerprint (md5 of normalized token stream)
+# ----------------------------------------------------------------------
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = analyze_batch(batch.column("text"), "default")
+        fps = [
+            hashlib.md5(" ".join(toks).encode()).hexdigest()
+            for toks in out.tokens.to_pylist()
+        ]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, type=pa.string()),
+        })
+
+    res = ds.map_batches(f, batch_format="pyarrow", **remote_args())
+    return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+
+
+SQL_FINGERPRINT = (
+    f"SELECT doc_id, md5(array_to_string({TOKENS_EXPR}, ' ')) AS fingerprint "
+    "FROM documents"
+)
+
+
+# ----------------------------------------------------------------------
+# 8. quality scoring (stopword ratio + lengths — text analysis suite)
+# ----------------------------------------------------------------------
+
+def q_quality(sf_dir: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+    stop = pa.array(sorted(ENGLISH_STOP_WORDS))
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = analyze_batch(batch.column("text"), "default")
+        flat = out.tokens.values
+        is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        n = out.num_tokens
+        offs = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=offs[1:])
+        pre = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(is_stop.astype(np.int64), out=pre[1:])
+        stops = pre[offs[1:]] - pre[offs[:-1]]
+        ratio = np.where(n > 0, stops / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "num_tokens": pa.array(n, type=pa.int64()),
+            "stop_ratio": pa.array(ratio, type=pa.float64()),
+            "n_chars": batch.column("n_chars"),
+        })
+
+    res = ds.map_batches(f, batch_format="pyarrow", **remote_args())
+    return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+
+
+SQL_QUALITY = f"""
+WITH toks AS (SELECT doc_id, n_chars, {TOKENS_EXPR} AS ts FROM documents)
+SELECT doc_id,
+       len(ts) AS num_tokens,
+       CASE WHEN len(ts) > 0 THEN
+         len(list_filter(ts, x -> x IN ({_STOPLIST_SQL}))) * 1.0 / len(ts)
+       ELSE 0.0 END AS stop_ratio,
+       n_chars
+FROM toks
+"""
+
+
+# ----------------------------------------------------------------------
+# 9. histogram over doc length (HistogramCollector analog — SURVEY §2.5)
+# ----------------------------------------------------------------------
+
+def q_histogram_len(sf_dir: str, width: int = 50) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = (batch.column("n_chars").to_numpy() // width).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uniq, type=pa.int64()),
+            "cnt": pa.array(cnt, type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+    agg = partials.groupby("bucket").aggregate(Sum("cnt", alias_name="doc_count"))
+    pdf = agg.to_pandas().sort_values("bucket").reset_index(drop=True)
+    pdf["doc_count"] = pdf["doc_count"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+SQL_HISTOGRAM_LEN = (
+    "SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, "
+    "count(*) AS doc_count FROM documents GROUP BY 1"
+)
+
+
+# ----------------------------------------------------------------------
+# 10. facet counts (FacetCollector analog over `source`)
+# ----------------------------------------------------------------------
+
+def q_facet_counts(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, ["source"])
+    agg = ds.groupby("source").aggregate(Count(alias_name="doc_count"))
+    pdf = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    pdf["doc_count"] = pdf["doc_count"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+SQL_FACET_COUNTS = (
+    "SELECT source, count(*) AS doc_count FROM documents GROUP BY source"
+)
+
+
+# ----------------------------------------------------------------------
+# 11. ANN cosine top-k over embeddings (similarity-search baseline)
+# ----------------------------------------------------------------------
+
+N_ANN_QUERIES = 5
+ANN_K = 10
+
+
+def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    # small query side: broadcast once (ray.put), read per task
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    mask = np.array([v < N_ANN_QUERIES for v in head.column("vec_id").to_pylist()])
+    qtbl = head.filter(pa.array(mask))
+    qids = np.asarray(qtbl.column("vec_id").to_pylist(), dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qtbl.column("embedding").to_pylist()])
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qref = ray.put((qids, qnorm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qn = ray.get(qref)
+        vids = batch.column("vec_id").to_numpy()
+        keep = vids >= N_ANN_QUERIES
+        if not keep.any():
+            return pa.table({
+                "query_vec_id": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+                "vec_id": pa.array([], type=pa.int64()),
+            })
+        emb = batch.column("embedding")
+        flat = emb.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        dim = qn.shape[1]
+        m = flat.astype(np.float64).reshape(len(vids), dim)[keep]
+        vids = vids[keep]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = qn @ mn.T  # (nq, nb)
+        rows = {"query_vec_id": [], "cos": [], "vec_id": []}
+        top = min(ANN_K, cos.shape[1])
+        for qi in range(len(qids_)):
+            idx = np.argpartition(-cos[qi], top - 1)[:top] if cos.shape[1] > top else np.arange(cos.shape[1])
+            for j in idx:
+                rows["query_vec_id"].append(int(qids_[qi]))
+                rows["cos"].append(float(cos[qi, j]))
+                rows["vec_id"].append(int(vids[j]))
+        return pa.table({
+            "query_vec_id": pa.array(rows["query_vec_id"], type=pa.int64()),
+            "cos": pa.array(rows["cos"], type=pa.float64()),
+            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+
+    def reduce_q(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(ANN_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_vec_id": g["query_vec_id"].astype("int64"),
+            "rank": pd.Series(np.arange(len(g)), dtype="int64"),
+            "vec_id": g["vec_id"].astype("int64"),
+        })
+
+    out = partials.groupby("query_vec_id").map_groups(
+        reduce_q, batch_format="pandas", **remote_args()
+    )
+    pdf = out.to_pandas().sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_ANN_QUERIES}),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_ANN_QUERIES}),
+scored AS (
+  SELECT q.query_vec_id, c.vec_id,
+         list_cosine_similarity(q.qe, c.embedding) AS cos
+  FROM q CROSS JOIN c),
+ranked AS (
+  SELECT query_vec_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id ASC) - 1 AS rank
+  FROM scored)
+SELECT query_vec_id, rank, vec_id FROM ranked WHERE rank < {ANN_K}
+"""
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
+
+QUERIES: Dict = {
+    "token_counts": q_token_counts,
+    "term_doc_freqs": q_term_doc_freqs,
+    "corpus_stats": q_corpus_stats,
+    "top_terms": q_top_terms,
+    "topk_bm25": q_topk_bm25,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "quality": q_quality,
+    "histogram_len": q_histogram_len,
+    "facet_counts": q_facet_counts,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "token_counts": SQL_TOKEN_COUNTS,
+    "term_doc_freqs": SQL_TERM_DOC_FREQS,
+    "corpus_stats": SQL_CORPUS_STATS,
+    "top_terms": SQL_TOP_TERMS,
+    "topk_bm25": _sql_topk_bm25(),
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "fingerprint": SQL_FINGERPRINT,
+    "quality": SQL_QUALITY,
+    "histogram_len": SQL_HISTOGRAM_LEN,
+    "facet_counts": SQL_FACET_COUNTS,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+}

@@ -1,0 +1,172 @@
+"""Batch query execution as a Ray Data pipeline.
+
+Topology (SURVEY §2.9 → Ray): a query is latency-bound, a *batch* of queries
+is a Dataset. Searcher state (term dicts + mmapped postings) lives in an
+actor pool — loaded once per actor in ``__init__``
+(reference Searcher/rayon executor, src/core/searcher.rs:220-237).
+
+Two modes:
+- ``num_shards=1`` (replicated): every actor holds all segments; queries are
+  split across the pool — throughput parallelism when the index fits one
+  node's page cache.
+- ``num_shards>1`` (scatter-gather): segments are partitioned into shards;
+  the query Dataset flows through one actor pool per shard, shard results
+  are unioned and reduced per query_id with ``groupby(...).map_groups`` —
+  the merge_fruits step (reference src/collector/mod.rs:167-180) expressed
+  as a Ray Data reduce. Global BM25 stats come from the manifest + a
+  df-lookup pass over shard term dicts, so scores are identical in both
+  modes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..search.searcher import IndexSearcher, merge_topk
+from ..utils import remote_args
+
+
+def _shard_ords(manifest, num_shards: int) -> List[List[int]]:
+    ords = [s["segment_ord"] for s in manifest.segments]
+    return [ords[i::num_shards] for i in range(num_shards) if ords[i::num_shards]]
+
+
+class SearcherActor:
+    """map_batches callable class: one actor = one shard's searcher."""
+
+    def __init__(self, index_dir: str, segment_ords: Optional[List[int]],
+                 doc_freqs: Dict[str, int], use_wand: bool):
+        self.searcher = IndexSearcher(index_dir, segment_ords)
+        self.doc_freqs = doc_freqs
+        self.use_wand = use_wand
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "query_id": [], "score": [], "segment_ord": [], "doc_id": [],
+        }
+        for qid, terms, mode, k in zip(
+            batch["query_id"], batch["terms"], batch["mode"], batch["k"]
+        ):
+            hits = self.searcher.search(
+                list(terms), str(mode), int(k),
+                doc_freqs=self.doc_freqs, use_wand=self.use_wand,
+            )
+            for s, seg, doc in hits:
+                out["query_id"].append(int(qid))
+                out["score"].append(np.float32(s))
+                out["segment_ord"].append(seg)
+                out["doc_id"].append(doc)
+        return pd.DataFrame({
+            "query_id": pd.Series(out["query_id"], dtype="int64"),
+            "score": pd.Series(out["score"], dtype="float32"),
+            "segment_ord": pd.Series(out["segment_ord"], dtype="int32"),
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+        })
+
+
+def global_doc_freqs(index_dir: str, terms: Sequence[str],
+                     manifest=None) -> Dict[str, int]:
+    """Global doc_freq per query term = Σ per-segment doc_freq
+    (reference src/query/bm25.rs:47-50). Computed with one small Ray task
+    per segment group so no node loads every term dict."""
+    import ray
+
+    from ..index.manifest import load_manifest
+
+    manifest = manifest or load_manifest(index_dir)
+    ords = [s["segment_ord"] for s in manifest.segments]
+    terms = sorted(set(terms))
+
+    @ray.remote
+    def df_of(ords_chunk: List[int]) -> Dict[str, int]:
+        s = IndexSearcher(index_dir, ords_chunk, manifest=manifest)
+        return s.doc_freqs(terms)
+
+    chunks = [ords[i::8] for i in range(8) if ords[i::8]]
+    partials = ray.get([
+        df_of.options(runtime_env=remote_args()["runtime_env"]).remote(c)
+        for c in chunks
+    ])
+    total: Dict[str, int] = {t: 0 for t in terms}
+    for p in partials:
+        for t, v in p.items():
+            total[t] += v
+    return total
+
+
+def search_pipeline(
+    index_dir: str,
+    queries: Sequence[Tuple[int, Sequence[str], str, int]],
+    num_shards: int = 1,
+    concurrency: int = 2,
+    use_wand: bool = False,
+    batch_size: int = 256,
+) -> pa.Table:
+    """Execute a batch of (query_id, terms, mode, k) queries.
+
+    → pa.Table (query_id, rank, score, segment_ord, doc_id), rank-identical
+    to per-query ``IndexSearcher.search``."""
+    import ray.data as rd
+
+    from ..index.manifest import load_manifest
+
+    manifest = load_manifest(index_dir)
+    all_terms = sorted({t for _, terms, _, _ in queries for t in terms})
+    dfs = global_doc_freqs(index_dir, all_terms, manifest)
+
+    qds = rd.from_items([
+        {"query_id": qid, "terms": list(terms), "mode": mode, "k": k}
+        for qid, terms, mode, k in queries
+    ])
+
+    shards = _shard_ords(manifest, num_shards)
+    if not shards:
+        shards = [None]  # empty index → single empty searcher
+
+    per_shard = []
+    for ords in shards:
+        per_shard.append(
+            qds.map_batches(
+                SearcherActor,
+                fn_constructor_kwargs={
+                    "index_dir": index_dir,
+                    "segment_ords": ords,
+                    "doc_freqs": dfs,
+                    "use_wand": use_wand,
+                },
+                batch_size=batch_size,
+                batch_format="pandas",
+                concurrency=concurrency,
+                **remote_args(),
+            )
+        )
+    unioned = per_shard[0]
+    for d in per_shard[1:]:
+        unioned = unioned.union(d)
+
+    k_of = {qid: k for qid, _, _, k in queries}
+
+    def reduce_query(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        hits = list(zip(
+            g["score"].astype(np.float32), g["segment_ord"], g["doc_id"]
+        ))
+        top = merge_topk([(float(s), int(a), int(b)) for s, a, b in hits],
+                         k_of.get(qid, 10))
+        return pd.DataFrame({
+            "query_id": pd.Series([qid] * len(top), dtype="int64"),
+            "rank": pd.Series(range(len(top)), dtype="int32"),
+            "score": pd.Series([t[0] for t in top], dtype="float32"),
+            "segment_ord": pd.Series([t[1] for t in top], dtype="int32"),
+            "doc_id": pd.Series([t[2] for t in top], dtype="int64"),
+        })
+
+    result = unioned.groupby("query_id").map_groups(
+        reduce_query, batch_format="pandas", **remote_args()
+    )
+    tbl = pa.Table.from_pandas(result.to_pandas(), preserve_index=False)
+    return tbl

@@ -1,0 +1,113 @@
+"""End-to-end pipelines: pages → build → search Dataset pipeline → merge.
+
+Covers the north-star chain at test scale: deterministic pages, sharded
+scatter-gather query execution equal to direct search, and the salted
+groupby-term merge equivalence (merged == stacked per-segment postings)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tantivy_ray.index import build_index, load_manifest
+from tantivy_ray.index.merge import MergedIndexReader, merge_segments
+from tantivy_ray.pipelines import (
+    REFERENCE_QUERY_SET,
+    generate_pages_table,
+    search_pipeline,
+    write_pages_parquet,
+)
+from tantivy_ray.search import IndexSearcher
+
+
+class TestPagesGenerator:
+    def test_deterministic(self):
+        a = generate_pages_table(200)
+        b = generate_pages_table(200)
+        assert a.equals(b)
+        assert a.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+        assert str(a.schema.field("warc_ts").type) == "timestamp[s]"
+        assert a.column("url").to_pylist()[0] == "https://example.org/p/000000000"
+
+    def test_special_rows(self):
+        t = generate_pages_table(10)
+        texts = t.column("text").to_pylist()
+        assert texts[0] == "Hello, happy tax payer!"
+        assert texts[1] == "Русский текст"
+        assert texts[2] == ""
+        assert "x" * 50 in texts[3]
+
+    def test_head_term_skew(self):
+        t = generate_pages_table(500, seed=42)
+        joined = " ".join(t.column("text").to_pylist())
+        assert joined.count(" the ") > joined.count(" w0400 ") * 5
+
+
+@pytest.fixture(scope="module")
+def pages_index(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("pages")
+    pq_path = str(d / "pages.parquet")
+    write_pages_parquet(pq_path, 600, row_group_size=100)
+    idx = str(d / "ix")
+    build_index(pq_path, idx, docs_per_segment=250)
+    return idx
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSearchPipeline:
+    @pytest.mark.parametrize("num_shards", [1, 3])
+    def test_matches_direct_search(self, pages_index, num_shards):
+        tbl = search_pipeline(
+            pages_index, REFERENCE_QUERY_SET, num_shards=num_shards
+        )
+        s = IndexSearcher(pages_index)
+        df = tbl.to_pandas().sort_values(["query_id", "rank"])
+        for qid, terms, mode, k in REFERENCE_QUERY_SET:
+            exp = s.search(terms, mode, k)
+            got = df[df.query_id == qid]
+            assert len(got) == len(exp), (qid, terms)
+            for (score, seg, doc), row in zip(exp, got.itertuples()):
+                assert row.segment_ord == seg and row.doc_id == doc, (qid, terms)
+                assert np.float32(row.score) == np.float32(score)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMerge:
+    def test_merge_equivalence(self, pages_index, tmp_path):
+        merged_dir = str(tmp_path / "merged")
+        # small salt block to force salting of head terms
+        meta = merge_segments(pages_index, merged_dir, salt_block_docs=100,
+                              num_buckets=8)
+        m = load_manifest(pages_index)
+        r = MergedIndexReader(merged_dir)
+        s = IndexSearcher(pages_index)
+
+        bases = {}
+        base = 0
+        for seg in m.segments:
+            bases[seg["segment_ord"]] = base
+            base += seg["num_docs"]
+
+        for term in ["the", "search", "data", "w0100", "index"]:
+            # stacked per-segment postings (reference merger doc-id stacking)
+            parts_docs, parts_tfs = [], []
+            for rd_ in s.readers:
+                p = rd_.postings(term)
+                if p is None:
+                    continue
+                d, tf = p
+                parts_docs.append(d.astype(np.int64) + bases[rd_.segment_ord])
+                parts_tfs.append(tf)
+            if not parts_docs:
+                assert r.postings(term) is None
+                continue
+            exp_docs = np.concatenate(parts_docs)
+            exp_tfs = np.concatenate(parts_tfs)
+            got = r.postings(term)
+            assert got is not None, term
+            assert (got[0] == exp_docs).all(), term
+            assert (got[1] == exp_tfs).all(), term
+            assert r.doc_freq(term) == len(exp_docs)
+        # head term actually got salted (doc_freq > salt block)
+        assert r.doc_freq("the") > 100
+        assert meta["num_terms"] > 100
