@@ -85,13 +85,18 @@ class ExplodeSegment:
                 docs, tfs = reader.postings(term)
                 fids = reader.fieldnorm_ids[docs]
                 gdocs = docs.astype(np.int64) + base
-                # salt: contiguous runs of <= salt_block_docs postings;
-                # salt id = (segment base, run start) keeps global order
+                # salt = global-doc-range bucket: fragments of the same term
+                # from different segments share a salt iff they fall in the
+                # same doc-range span, so a reducer merges ~span/segment_size
+                # fragments; head terms spread over many salts (bounded
+                # reducer input), tail terms collapse to one group.  Salt
+                # order == global doc order, so concatenation by salt
+                # reconstructs the full list (disjoint ascending ranges).
                 for start in range(0, len(gdocs), self.salt_block_docs):
                     end = min(start + self.salt_block_docs, len(gdocs))
                     chunk = gdocs[start:end]
-                    salt = int(chunk[0])  # first global doc = ordering key
-                    rows["group_key"].append(f"{term}\x00{salt:016x}")
+                    salt = int(chunk[0]) // max(1, self.salt_block_docs)
+                    rows["group_key"].append(f"{term}\x00{salt:012d}")
                     rows["term"].append(term)
                     rows["salt"].append(salt)
                     rows["doc_freq"].append(end - start)
@@ -157,6 +162,15 @@ def merge_segments(
         batch_format="pandas",
         **remote_args(),
     )
+
+    # coalesce fragment blocks before the shuffle: the sort exchange's
+    # fixed cost scales with block count, so target ~64 MB blocks (bounded
+    # below so small test indexes don't pay 74-block orchestration)
+    total_bytes = sum(
+        s.get("metrics", {}).get("postings_bytes", 0) for s in manifest.segments
+    )
+    n_shuffle_blocks = int(min(1024, max(8, total_bytes // (64 << 20))))
+    fragments = fragments.repartition(n_shuffle_blocks)
 
     merged = fragments.groupby("group_key").map_groups(
         lambda g: _merge_group(g, avg),

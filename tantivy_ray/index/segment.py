@@ -276,6 +276,12 @@ class SegmentReader:
         self.fieldnorm_ids = np.fromfile(
             os.path.join(seg_path, "fieldnorms.bin"), dtype=np.uint8
         )
+        # decoded-postings cache: query batches repeat terms heavily
+        # (Zipfian logs), and an actor serves many queries — the analog of
+        # the reference's reliance on the OS page cache over mmapped
+        # postings. Bounded FIFO keeps memory predictable.
+        self._postings_cache: dict = {}
+        self._postings_cache_cap = 512
 
     # --- term dict ---
     def term_ord(self, term: str) -> Optional[int]:
@@ -299,11 +305,18 @@ class SegmentReader:
         return TermPostingsReader(self._postings[s:s + int(self._len[o])])
 
     def postings(self, term: str):
-        """→ (docs, tfs) fully decoded, or None."""
+        """→ (docs, tfs) fully decoded, or None (FIFO-cached)."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            return hit
         r = self.postings_reader(term)
         if r is None:
             return None
-        return r.decode_all()
+        out = r.decode_all()
+        if len(self._postings_cache) >= self._postings_cache_cap:
+            self._postings_cache.pop(next(iter(self._postings_cache)))
+        self._postings_cache[term] = out
+        return out
 
     def positions(self, term: str) -> Optional[List[np.ndarray]]:
         """Per-posting position arrays (absolute), doc order."""

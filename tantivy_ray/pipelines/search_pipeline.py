@@ -104,7 +104,7 @@ def search_pipeline(
     num_shards: int = 1,
     concurrency: int = 2,
     use_wand: bool = False,
-    batch_size: int = 256,
+    batch_size: Optional[int] = None,
 ) -> pa.Table:
     """Execute a batch of (query_id, terms, mode, k) queries.
 
@@ -117,6 +117,10 @@ def search_pipeline(
     manifest = load_manifest(index_dir)
     all_terms = sorted({t for _, terms, _, _ in queries for t in terms})
     dfs = global_doc_freqs(index_dir, all_terms, manifest)
+
+    if batch_size is None:
+        # keep every actor in the pool busy: >=2 batches per actor
+        batch_size = max(1, len(queries) // (max(1, concurrency) * 2))
 
     qds = rd.from_items([
         {"query_id": qid, "terms": list(terms), "mode": mode, "k": k}
@@ -165,6 +169,9 @@ def search_pipeline(
             "doc_id": pd.Series([t[2] for t in top], dtype="int64"),
         })
 
+    # coalesce before the reduce shuffle: per-shard top-k rows are tiny,
+    # and the sort exchange's fixed cost scales with block count
+    unioned = unioned.repartition(max(8, num_shards))
     result = unioned.groupby("query_id").map_groups(
         reduce_query, batch_format="pandas", **remote_args()
     )

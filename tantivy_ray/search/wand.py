@@ -1,27 +1,33 @@
-"""Block-max WAND top-k — the pruning scale path.
+"""Block-max WAND top-k — the pruning scale path, block-at-a-time.
 
-Faithful re-expression of the reference's block-max WAND
-(/root/reference/src/query/boolean_query/block_wand_union.rs — pivot
-selection :16-43, multi-scorer loop :148-216, single-scorer fast path
-:226-265) over our bitpacked block format (compression.py): per 128-doc
-block the skip entry stores the (fieldnorm_id, tf) pair maximizing the
-segment-local tf factor; the query-time bound scores that pair with the
-GLOBAL Bm25Weight (reference src/postings/serializer.rs:404-428,
-src/query/bm25.rs:184-186).
+Functional re-expression of the reference's block-max WAND
+(/root/reference/src/query/boolean_query/block_wand_union.rs — pivot/bound
+logic :16-43, multi scorer :148-216, single scorer :226-265) over our
+bitpacked block format: per 128-doc block the skip entry stores the
+(fieldnorm_id, tf) pair maximizing the segment-local tf factor, and the
+query-time bound scores that pair with the GLOBAL Bm25Weight
+(reference src/postings/serializer.rs:404-428, src/query/bm25.rs:184-186).
 
-Rank identity is preserved because pruning only skips doc ranges whose
-block-bound sum cannot strictly exceed the running threshold (the collector
-inserts only on strict `>`, so equal-score later docs lose anyway —
-reference src/collector/sort_key/mod.rs:20-35). Full scoring of a pivot sums
-term contributions in query-term order (f32), matching the exhaustive path.
+Where the reference advances document-at-a-time, we advance WINDOW-at-a-time
+(a window ends at the smallest current block boundary across terms): the
+union upper bound of a window is the sum of the overlapping blocks' bounds;
+windows that cannot strictly beat the running threshold are skipped without
+decoding; surviving windows are decoded and scored fully vectorized.  This
+is rank-identical — pruning only drops doc ranges whose bound <= threshold,
+and the collector's strict `>` makes equal-score later docs losers anyway
+(reference src/collector/sort_key/mod.rs:20-35) — and it keeps the Python
+layer O(#blocks), not O(#docs).
 
-Property-tested against the exhaustive scorer on random posting lists, the
-same strategy as the reference's proptest (block_wand_union.rs:293-619).
+f32 identity with the exhaustive scorer: per-doc sums add term
+contributions in query-term order via a stable (doc, term_idx) sort +
+float32 ``np.add.reduceat`` (sequential in-order f32 accumulation).
+
+Property-tested against the exhaustive scorer on random corpora, the same
+strategy as the reference's proptest (block_wand_union.rs:293-619).
 """
 
 from __future__ import annotations
 
-import heapq
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -29,146 +35,62 @@ import numpy as np
 from ..bm25 import Bm25Weight
 from ..index.compression import TermPostingsReader
 
-
-class TermCursor:
-    """Sorted-docid cursor over one term's blocks with shallow seeking."""
-
-    __slots__ = ("reader", "weight", "term_idx", "block", "docs", "tfs",
-                 "pos", "block_bounds", "term_max", "_exhausted", "fids")
-
-    def __init__(self, reader: TermPostingsReader, weight: Bm25Weight,
-                 fieldnorm_ids: np.ndarray, term_idx: int):
-        self.reader = reader
-        self.weight = weight
-        self.fids = fieldnorm_ids
-        self.term_idx = term_idx
-        # per-block upper bounds from the stored (fieldnorm_id, tf) pair
-        self.block_bounds = weight.score(
-            np.asarray(reader.wand_fid, dtype=np.uint8),
-            np.asarray(reader.wand_tf, dtype=np.uint32),
-        )
-        self.term_max = float(self.block_bounds.max()) if len(self.block_bounds) else 0.0
-        self.block = 0
-        self.pos = 0
-        self._exhausted = reader.doc_freq == 0
-        self.docs = None
-        self.tfs = None
-        if not self._exhausted:
-            self._load_block(0)
-
-    def _load_block(self, b: int) -> None:
-        self.block = b
-        self.docs, self.tfs = self.reader.decode_block(b)
-        self.pos = 0
-
-    @property
-    def exhausted(self) -> bool:
-        return self._exhausted
-
-    def doc(self) -> int:
-        return int(self.docs[self.pos])
-
-    def score_current(self) -> np.float32:
-        d = self.docs[self.pos]
-        return self.weight.score(
-            self.fids[d:d + 1], self.tfs[self.pos:self.pos + 1]
-        )[0]
-
-    def advance(self) -> bool:
-        self.pos += 1
-        if self.pos >= len(self.docs):
-            if self.block + 1 >= self.reader.n_blocks:
-                self._exhausted = True
-                return False
-            self._load_block(self.block + 1)
-        return True
-
-    def seek(self, target: int) -> bool:
-        """Advance to first doc >= target."""
-        if self._exhausted:
-            return False
-        last = self.reader.last_doc
-        if last[self.block] < target:
-            nb = int(np.searchsorted(last, target, side="left"))
-            if nb >= self.reader.n_blocks:
-                self._exhausted = True
-                return False
-            self._load_block(nb)
-        self.pos = int(np.searchsorted(self.docs[self.pos:], target) + self.pos)
-        if self.pos >= len(self.docs):  # defensive; block guarantees containment
-            return self.advance()
-        return True
-
-    # --- shallow (no decode) ---
-    def shallow_block_for(self, target: int) -> int:
-        """Index of first block whose last_doc >= target (no decode)."""
-        last = self.reader.last_doc
-        if last[self.block] >= target:
-            return self.block
-        return int(np.searchsorted(last, target, side="left"))
-
-    def block_max(self, target: int) -> float:
-        b = self.shallow_block_for(target)
-        if b >= self.reader.n_blocks:
-            return 0.0
-        return float(self.block_bounds[b])
-
-    def block_last(self, target: int) -> int:
-        b = self.shallow_block_for(target)
-        if b >= self.reader.n_blocks:
-            return np.iinfo(np.uint32).max
-        return int(self.reader.last_doc[b])
+_UMAX = np.iinfo(np.int64).max
 
 
 class _TopK:
-    """k-best collector with the reference heap semantics: insert only on
-    strict score > threshold once full; worst entry = (lowest score,
-    highest doc)."""
+    """k-best collector, reference heap semantics: strict `>` once full,
+    ties kept for the lowest (segment, doc)."""
 
-    __slots__ = ("k", "heap")
+    __slots__ = ("k", "docs", "scores")
 
     def __init__(self, k: int):
         self.k = k
-        self.heap: List[Tuple[float, int]] = []  # (score, -doc)
+        self.docs = np.empty(0, dtype=np.int64)
+        self.scores = np.empty(0, dtype=np.float32)
 
     def threshold(self) -> float:
-        if len(self.heap) < self.k:
+        if len(self.docs) < self.k:
             return float("-inf")
-        return self.heap[0][0]
+        return float(self.scores[-1])
 
-    def offer(self, score: float, doc: int) -> None:
-        if len(self.heap) < self.k:
-            heapq.heappush(self.heap, (score, -doc))
-        elif score > self.heap[0][0]:
-            heapq.heapreplace(self.heap, (score, -doc))
+    def offer_many(self, docs: np.ndarray, scores: np.ndarray) -> None:
+        """Merge candidates (any order) into the running top-k."""
+        if len(docs) == 0:
+            return
+        thr = self.threshold()
+        if thr != float("-inf"):
+            m = scores > thr
+            if not m.any():
+                return
+            docs, scores = docs[m], scores[m]
+        alld = np.concatenate([self.docs, docs.astype(np.int64)])
+        alls = np.concatenate([self.scores, scores.astype(np.float32)])
+        order = np.lexsort((alld, -alls))[: self.k]
+        self.docs = alld[order]
+        self.scores = alls[order]
 
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
-        items = sorted(self.heap, key=lambda h: (-h[0], -h[1]))
-        docs = np.array([-d for _, d in items], dtype=np.uint32)
-        scores = np.array([s for s, _ in items], dtype=np.float32)
-        return docs, scores
+        return self.docs.astype(np.uint32), self.scores
+
+
+def _block_bounds(reader: TermPostingsReader, weight: Bm25Weight) -> np.ndarray:
+    return weight.score(
+        np.asarray(reader.wand_fid, dtype=np.uint8),
+        np.asarray(reader.wand_tf, dtype=np.uint32),
+    )
 
 
 def _single_term_topk(reader: TermPostingsReader, weight: Bm25Weight,
                       fids: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Single-scorer fast path (reference block_wand_union.rs:226-265):
-    skip whole blocks whose bound cannot beat the threshold; decode the
-    rest vectorized."""
-    bounds = weight.score(
-        np.asarray(reader.wand_fid, dtype=np.uint8),
-        np.asarray(reader.wand_tf, dtype=np.uint32),
-    )
+    """Single-scorer fast path (reference block_wand_union.rs:226-265)."""
+    bounds = _block_bounds(reader, weight)
     top = _TopK(k)
     for b in range(reader.n_blocks):
         if float(bounds[b]) <= top.threshold():
             continue
         docs, tfs = reader.decode_block(b)
-        scores = weight.score(fids[docs], tfs)
-        thr = top.threshold()
-        for d, s in zip(docs.tolist(), scores.tolist()):
-            if s > thr:
-                top.offer(s, d)
-                thr = top.threshold()
+        top.offer_many(docs, weight.score(fids[docs], tfs))
     return top.result()
 
 
@@ -178,85 +100,100 @@ def block_max_wand_topk(
     fieldnorm_ids: np.ndarray,
     k: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """OR-union top-k with block-max pruning. → (docs, scores) ordered
+    """OR-union top-k with block-max pruning → (docs, scores) ordered
     (score desc, doc asc)."""
+    pairs = [(r, w) for r, w in zip(readers, weights) if r.doc_freq > 0]
+    readers = [p[0] for p in pairs]
+    weights = [p[1] for p in pairs]
+    if not readers:
+        return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float32)
     if len(readers) == 1:
         return _single_term_topk(readers[0], weights[0], fieldnorm_ids, k)
 
-    cursors = [
-        TermCursor(r, w, fieldnorm_ids, i)
-        for i, (r, w) in enumerate(zip(readers, weights))
-    ]
-    cursors = [c for c in cursors if not c.exhausted]
+    nt = len(readers)
+    bounds = [_block_bounds(r, w) for r, w in zip(readers, weights)]
+    n_blocks = [r.n_blocks for r in readers]
+    last_docs = [np.asarray(r.last_doc, dtype=np.int64) for r in readers]
+    cur = [0] * nt  # current block index per term (blocks before cur are done)
     top = _TopK(k)
-    UMAX = np.iinfo(np.uint32).max
 
-    while cursors:
-        cursors.sort(key=lambda c: c.doc())
-        theta = top.threshold()
+    # scratch for pending decoded-but-unscored postings per term
+    pend_docs: List[np.ndarray] = [np.empty(0, dtype=np.int64)] * nt
+    pend_scores: List[np.ndarray] = [np.empty(0, dtype=np.float32)] * nt
 
-        # pivot selection over term-level maxima (block_wand_union.rs:16-43)
-        ub = np.float32(0.0)
-        pivot_idx = -1
-        for i, c in enumerate(cursors):
-            ub = np.float32(ub + np.float32(c.term_max))
-            if float(ub) > theta:
-                pivot_idx = i
-                break
-        if pivot_idx < 0:
+    while True:
+        # window = smallest current block end across live terms
+        window_end = _UMAX
+        for t in range(nt):
+            if cur[t] < n_blocks[t]:
+                window_end = min(window_end, int(last_docs[t][cur[t]]))
+        if window_end == _UMAX and all(len(p) == 0 for p in pend_docs):
             break
-        pivot_doc = cursors[pivot_idx].doc()
 
-        # block-level refinement
-        block_ub = np.float32(0.0)
-        for c in cursors[: pivot_idx + 1]:
-            block_ub = np.float32(block_ub + np.float32(c.block_max(pivot_doc)))
-        if float(block_ub) <= theta:
-            # skip to just past the smallest block end / next cursor's doc
-            boundary = min(
-                c.block_last(pivot_doc) for c in cursors[: pivot_idx + 1]
-            )
-            if pivot_idx + 1 < len(cursors):
-                boundary = min(boundary, cursors[pivot_idx + 1].doc() - 1)
-            if boundary >= UMAX:
-                break
-            target = boundary + 1
-            survivors = []
-            for c in cursors:
-                if c.doc() <= boundary:
-                    if c.seek(target):
-                        survivors.append(c)
-                else:
-                    survivors.append(c)
-            cursors = survivors
+        theta = top.threshold()
+        # union upper bound over the window: pending-score maxima +
+        # bounds of blocks overlapping the window
+        ub = np.float32(0.0)
+        for t in range(nt):
+            if len(pend_docs[t]) and int(pend_docs[t][0]) <= window_end:
+                ub = np.float32(ub + pend_scores[t].max())
+            elif cur[t] < n_blocks[t]:
+                start_lb = int(last_docs[t][cur[t] - 1]) + 1 if cur[t] > 0 else 0
+                if start_lb <= window_end:
+                    ub = np.float32(ub + bounds[t][cur[t]])
+
+        if float(ub) <= theta and theta != float("-inf"):
+            # Skip the window without decoding: drop pending postings in
+            # it and advance blocks fully contained. (Straddling blocks
+            # are not advanced; if decoded later their already-skipped
+            # range yields partial sums <= the full-score bound <= theta,
+            # which offer_many rejects — pruning stays exact.)
+            for t in range(nt):
+                if len(pend_docs[t]):
+                    keep = pend_docs[t] > window_end
+                    pend_docs[t] = pend_docs[t][keep]
+                    pend_scores[t] = pend_scores[t][keep]
+                if cur[t] < n_blocks[t] and int(last_docs[t][cur[t]]) <= window_end:
+                    cur[t] += 1
             continue
 
-        if cursors[0].doc() == pivot_doc:
-            # all cursors [0..pivot] sit on pivot: score it fully, in
-            # query-term order (f32 identity with the exhaustive path)
-            on_pivot = [c for c in cursors if not c.exhausted and c.doc() == pivot_doc]
-            on_pivot.sort(key=lambda c: c.term_idx)
-            score = np.float32(0.0)
-            for c in on_pivot:
-                score = np.float32(score + c.score_current())
-            top.offer(float(score), pivot_doc)
-            survivors = []
-            for c in cursors:
-                if c.doc() == pivot_doc:
-                    if c.advance():
-                        survivors.append(c)
-                else:
-                    survivors.append(c)
-            cursors = survivors
-        else:
-            # advance the highest-impact leading cursor to the pivot
-            lead = max(
-                (c for c in cursors[:pivot_idx] if c.doc() < pivot_doc),
-                key=lambda c: c.term_max,
-                default=None,
-            )
-            if lead is None:
-                lead = cursors[0]
-            if not lead.seek(pivot_doc):
-                cursors = [c for c in cursors if not c.exhausted]
+        # decode + score every term's postings in [.., window_end]; blocks
+        # merely straddling the window are decoded too (their in-window
+        # docs must be summed this round) with the tail kept pending
+        cand_docs: List[np.ndarray] = []
+        cand_scores: List[np.ndarray] = []
+        for t in range(nt):
+            docs = pend_docs[t]
+            sc = pend_scores[t]
+            if cur[t] < n_blocks[t]:
+                start_lb = int(last_docs[t][cur[t] - 1]) + 1 if cur[t] > 0 else 0
+                if start_lb <= window_end:
+                    bdocs, btfs = readers[t].decode_block(cur[t])
+                    cur[t] += 1
+                    bsc = weights[t].score(fieldnorm_ids[bdocs], btfs)
+                    docs = np.concatenate([docs, bdocs.astype(np.int64)])
+                    sc = np.concatenate([sc, bsc])
+            if len(docs) == 0:
+                pend_docs[t] = docs
+                pend_scores[t] = sc
+                continue
+            take = docs <= window_end
+            pend_docs[t] = docs[~take]
+            pend_scores[t] = sc[~take]
+            docs, sc = docs[take], sc[take]
+            if len(docs):
+                cand_docs.append(docs)
+                cand_scores.append(sc)
+
+        if not cand_docs:
+            continue
+        # sum per doc in query-term order with stepwise f32 in-place adds —
+        # bit-identical to the exhaustive accumulator (np.add.reduceat is
+        # NOT usable here: it accumulates in extended precision)
+        u = np.unique(np.concatenate(cand_docs))
+        acc = np.zeros(len(u), dtype=np.float32)
+        for docs, sc in zip(cand_docs, cand_scores):  # cand is in term order
+            acc[np.searchsorted(u, docs)] += sc
+        top.offer_many(u, acc)
+
     return top.result()
