@@ -1,0 +1,399 @@
+"""Aggregation framework — ES-compatible tree, partial/merge/finalize.
+
+Re-expression of the reference's aggregation module (SURVEY §2.5;
+/root/reference/src/aggregation/ — 26.9k LoC) in its essential contract:
+per-shard partials are serializable and MERGEABLE across shards/nodes
+(IntermediateAggregationResults, intermediate_agg_result.rs:50,251), then
+``into_final_result`` shapes the response.
+
+Supported (request dict shape mirrors the ES/reference JSON):
+
+bucket:  terms          {field, size, sub-aggs}
+         histogram      {field, interval, offset}
+         date_histogram {field, fixed_interval (seconds)}
+         range          {field, ranges: [{to}, {from,to}, {from}]}
+         filter         {term: {field, value}}     (sub-agg scoping)
+metric:  avg min max sum value_count stats extended_stats
+         percentiles    (mergeable log-bucket sketch, DDSketch-style —
+                         reference uses DDSketch, metric/percentiles.rs:71)
+         cardinality    (HyperLogLog, reference metric/cardinality.rs:8)
+
+Ray execution (:func:`run_aggregations`): ``map_batches`` computes one
+partial per batch (vectorized numpy), partials stream to the driver and
+merge pairwise — they are tiny (buckets + sketches), exactly the
+merge_fruits topology the reference uses across segments and nodes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketches
+# ---------------------------------------------------------------------------
+
+class LogBucketSketch:
+    """DDSketch-style quantile sketch: logarithmic buckets with relative
+    accuracy alpha; mergeable by bucket-count addition."""
+
+    __slots__ = ("alpha", "gamma", "log_gamma", "counts", "neg_counts",
+                 "zero_count", "total")
+
+    def __init__(self, alpha: float = 0.01):
+        self.alpha = alpha
+        self.gamma = (1 + alpha) / (1 - alpha)
+        self.log_gamma = math.log(self.gamma)
+        self.counts: Dict[int, int] = {}
+        self.neg_counts: Dict[int, int] = {}
+        self.zero_count = 0
+        self.total = 0
+
+    def add_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        self.total += len(v)
+        self.zero_count += int((v == 0).sum())
+        for sign, store in ((1, self.counts), (-1, self.neg_counts)):
+            vv = v[v > 0] if sign == 1 else -v[v < 0]
+            if len(vv) == 0:
+                continue
+            keys = np.ceil(np.log(vv) / self.log_gamma).astype(np.int64)
+            uniq, cnt = np.unique(keys, return_counts=True)
+            for k, c in zip(uniq.tolist(), cnt.tolist()):
+                store[k] = store.get(k, 0) + int(c)
+
+    def merge(self, other: "LogBucketSketch") -> None:
+        self.total += other.total
+        self.zero_count += other.zero_count
+        for k, c in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + c
+        for k, c in other.neg_counts.items():
+            self.neg_counts[k] = self.neg_counts.get(k, 0) + c
+
+    def quantile(self, q: float) -> Optional[float]:
+        if self.total == 0:
+            return None
+        rank = q * (self.total - 1)
+        acc = 0
+        for k in sorted(self.neg_counts, reverse=True):
+            acc += self.neg_counts[k]
+            if acc > rank:
+                return -2 * self.gamma ** k / (self.gamma + 1)
+        acc += self.zero_count
+        if self.zero_count and acc > rank:
+            return 0.0
+        for k in sorted(self.counts):
+            acc += self.counts[k]
+            if acc > rank:
+                return 2 * self.gamma ** k / (self.gamma + 1)
+        return None
+
+    def to_state(self):
+        return ("sketch", self.alpha, dict(self.counts),
+                dict(self.neg_counts), self.zero_count, self.total)
+
+    @classmethod
+    def from_state(cls, st):
+        s = cls(st[1])
+        s.counts, s.neg_counts, s.zero_count, s.total = (
+            dict(st[2]), dict(st[3]), st[4], st[5])
+        return s
+
+
+class HyperLogLog:
+    """HLL with 2^p registers (reference uses the datasketches hll)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashed(self, hashes: np.ndarray) -> None:
+        h = np.asarray(hashes, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of rest + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        cur = rest.copy()
+        mask = np.uint64(1 << 63)
+        done = np.zeros(len(h), dtype=bool)
+        for i in range(64 - self.p + 1):
+            top = (cur & mask) != 0
+            newly = top & ~done
+            lz[newly] = i + 1
+            done |= top
+            if done.all():
+                break
+            cur = cur << np.uint64(1)
+        np.maximum.at(self.registers, idx, lz)
+
+    def add_values(self, values) -> None:
+        import hashlib
+
+        hs = np.array(
+            [int.from_bytes(
+                hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
+                "big") for v in values],
+            dtype=np.uint64,
+        )
+        if len(hs):
+            self.add_hashed(hs)
+
+    def merge(self, other: "HyperLogLog") -> None:
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        z = 1.0 / np.power(2.0, self.registers.astype(np.float64)).sum()
+        e = alpha * m * m * z
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * math.log(m / zeros)
+        return e
+
+    def to_state(self):
+        return ("hll", self.p, self.registers.tobytes())
+
+    @classmethod
+    def from_state(cls, st):
+        h = cls(st[1])
+        h.registers = np.frombuffer(st[2], dtype=np.uint8).copy()
+        return h
+
+
+# ---------------------------------------------------------------------------
+# partial computation (per batch) and merge
+# ---------------------------------------------------------------------------
+
+_METRICS = {"avg", "min", "max", "sum", "value_count", "stats",
+            "extended_stats", "percentiles", "cardinality"}
+_BUCKETS = {"terms", "histogram", "date_histogram", "range", "filter"}
+
+
+def _metric_partial(kind: str, spec: Dict, values: np.ndarray):
+    if kind == "cardinality":
+        h = HyperLogLog(spec.get("precision", 12))
+        h.add_values(values.tolist())
+        return h.to_state()
+    if kind == "percentiles":
+        s = LogBucketSketch(spec.get("alpha", 0.005))
+        s.add_many(values)
+        return s.to_state()
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return (0, 0.0, math.inf, -math.inf, 0.0)
+    return (len(v), float(v.sum()), float(v.min()), float(v.max()),
+            float((v * v).sum()))
+
+
+def _metric_merge(kind: str, a, b):
+    if kind == "cardinality":
+        h = HyperLogLog.from_state(a)
+        h.merge(HyperLogLog.from_state(b))
+        return h.to_state()
+    if kind == "percentiles":
+        s = LogBucketSketch.from_state(a)
+        s.merge(LogBucketSketch.from_state(b))
+        return s.to_state()
+    return (a[0] + b[0], a[1] + b[1], min(a[2], b[2]), max(a[3], b[3]),
+            a[4] + b[4])
+
+
+def _metric_final(kind: str, spec: Dict, st):
+    if kind == "cardinality":
+        return {"value": round(HyperLogLog.from_state(st).estimate())}
+    if kind == "percentiles":
+        s = LogBucketSketch.from_state(st)
+        pts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        return {"values": {str(p): s.quantile(p / 100.0) for p in pts}}
+    n, total, mn, mx, sq = st
+    if kind == "value_count":
+        return {"value": n}
+    if n == 0:
+        return {"value": None}
+    if kind == "avg":
+        return {"value": total / n}
+    if kind == "min":
+        return {"value": mn}
+    if kind == "max":
+        return {"value": mx}
+    if kind == "sum":
+        return {"value": total}
+    base = {"count": n, "min": mn, "max": mx, "sum": total, "avg": total / n}
+    if kind == "stats":
+        return base
+    variance = sq / n - (total / n) ** 2
+    base.update({
+        "sum_of_squares": sq,
+        "variance": variance,
+        "std_deviation": math.sqrt(max(0.0, variance)),
+    })
+    return base  # extended_stats
+
+
+def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
+                    mask: Optional[np.ndarray] = None) -> Dict:
+    """One serializable partial for a batch (dict of numpy columns)."""
+    out: Dict[str, Any] = {}
+    n = len(next(iter(batch.values()))) if batch else 0
+    sel = np.ones(n, dtype=bool) if mask is None else mask
+    for name, spec in aggs.items():
+        kind = next(k for k in spec if k in _METRICS | _BUCKETS)
+        body = spec[kind]
+        subs = spec.get("aggs", {})
+        if kind in _METRICS:
+            out[name] = ("m", kind,
+                         _metric_partial(kind, body, batch[body["field"]][sel]))
+            continue
+        if kind == "filter":
+            f = body["term"]
+            m2 = sel & (batch[f["field"]] == f["value"])
+            out[name] = ("f", int(m2.sum()),
+                         compute_partial(subs, batch, m2))
+            continue
+        # bucket aggs: compute bucket key per row
+        col = batch[body["field"]]
+        if kind == "terms":
+            keys = col[sel]
+            buckets: Dict[Any, Dict] = {}
+            for key in np.unique(keys):
+                m2 = sel & (col == key)
+                buckets[key if not isinstance(key, np.generic) else key.item()] = {
+                    "doc_count": int(m2.sum()),
+                    "sub": compute_partial(subs, batch, m2),
+                }
+            out[name] = ("b", kind, buckets)
+            continue
+        if kind in ("histogram", "date_histogram"):
+            interval = body.get("interval") or body.get("fixed_interval")
+            off = body.get("offset", 0)
+            vals = col.astype(np.float64)
+            bk = np.floor((vals - off) / interval) * interval + off
+            buckets = {}
+            for key in np.unique(bk[sel]):
+                m2 = sel & (bk == key)
+                buckets[float(key)] = {
+                    "doc_count": int(m2.sum()),
+                    "sub": compute_partial(subs, batch, m2),
+                }
+            out[name] = ("b", kind, buckets)
+            continue
+        if kind == "range":
+            vals = col.astype(np.float64)
+            buckets = {}
+            for r in body["ranges"]:
+                lo = r.get("from", -math.inf)
+                hi = r.get("to", math.inf)
+                m2 = sel & (vals >= lo) & (vals < hi)
+                label = f"{r.get('from', '*')}-{r.get('to', '*')}"
+                buckets[label] = {
+                    "doc_count": int(m2.sum()),
+                    "sub": compute_partial(subs, batch, m2),
+                }
+            out[name] = ("b", kind, buckets)
+            continue
+        raise ValueError(f"unknown aggregation {kind}")
+    return out
+
+
+def merge_partials(aggs: Dict[str, Dict], a: Dict, b: Dict) -> Dict:
+    out = {}
+    for name, spec in aggs.items():
+        kind = next(k for k in spec if k in _METRICS | _BUCKETS)
+        subs = spec.get("aggs", {})
+        pa_, pb = a.get(name), b.get(name)
+        if pa_ is None:
+            out[name] = pb
+            continue
+        if pb is None:
+            out[name] = pa_
+            continue
+        if pa_[0] == "m":
+            out[name] = ("m", kind, _metric_merge(kind, pa_[2], pb[2]))
+        elif pa_[0] == "f":
+            out[name] = ("f", pa_[1] + pb[1],
+                         merge_partials(subs, pa_[2], pb[2]))
+        else:
+            buckets = dict(pa_[2])
+            for key, bb in pb[2].items():
+                if key in buckets:
+                    buckets[key] = {
+                        "doc_count": buckets[key]["doc_count"] + bb["doc_count"],
+                        "sub": merge_partials(subs, buckets[key]["sub"], bb["sub"]),
+                    }
+                else:
+                    buckets[key] = bb
+            out[name] = ("b", kind, buckets)
+    return out
+
+
+def finalize(aggs: Dict[str, Dict], partial: Dict) -> Dict:
+    out = {}
+    for name, spec in aggs.items():
+        kind = next(k for k in spec if k in _METRICS | _BUCKETS)
+        body = spec[kind]
+        subs = spec.get("aggs", {})
+        p = partial.get(name)
+        if p is None:
+            out[name] = {}
+            continue
+        if p[0] == "m":
+            out[name] = _metric_final(kind, body, p[2])
+        elif p[0] == "f":
+            res = {"doc_count": p[1]}
+            res.update(finalize(subs, p[2]))
+            out[name] = res
+        else:
+            items = list(p[2].items())
+            if kind == "terms":
+                size = body.get("size", 10)
+                # ES order: doc_count desc, key asc
+                items.sort(key=lambda kv: (-kv[1]["doc_count"], str(kv[0])))
+                items = items[:size]
+            else:
+                items.sort(key=lambda kv: kv[0] if not isinstance(kv[0], str) else kv[0])
+            buckets = []
+            for key, b in items:
+                row = {"key": key, "doc_count": b["doc_count"]}
+                row.update(finalize(subs, b["sub"]))
+                buckets.append(row)
+            out[name] = {"buckets": buckets}
+    return out
+
+
+def run_aggregations(ds, aggs: Dict[str, Dict],
+                     batch_size: int = 65536) -> Dict:
+    """Execute an aggregation tree over a ray.data.Dataset.
+
+    map_batches → one tiny partial per batch → merge on the driver →
+    finalize (the reference's collect_segment / merge_fruits /
+    into_final_result trichotomy)."""
+    from .utils import remote_args
+
+    def partial_fn(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
+        import pickle
+
+        p = compute_partial(aggs, batch)
+        return {"partial": np.array([pickle.dumps(p)], dtype=object)}
+
+    parts = ds.map_batches(
+        partial_fn, batch_format="numpy", batch_size=batch_size,
+        **remote_args(),
+    )
+    import pickle
+
+    merged: Optional[Dict] = None
+    for row in parts.iter_rows():
+        p = pickle.loads(row["partial"])
+        merged = p if merged is None else merge_partials(aggs, merged, p)
+    if merged is None:
+        merged = {}
+    return finalize(aggs, merged)

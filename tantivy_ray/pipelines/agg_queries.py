@@ -1,0 +1,203 @@
+"""Aggregation-tree queries + DuckDB oracles (SURVEY §2.5 coverage).
+
+Each query runs the ES-style aggregation framework (tantivy_ray.aggregations)
+through Ray Data and flattens the response to a table whose values a SQL
+oracle reproduces exactly (integer counts; float aggregates rounded to 6dp
+on BOTH sides — summation-order noise is ~1e-12)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..aggregations import run_aggregations
+from ..utils import remote_args
+
+
+def _read(sf_dir: str, table: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# 1. terms bucket + stats sub-agg over lineitem ---------------------------
+
+def q_agg_stats_by_returnflag(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    res = run_aggregations(ds, {
+        "flags": {
+            "terms": {"field": "l_returnflag", "size": 10},
+            "aggs": {"q": {"stats": {"field": "l_quantity"}}},
+        }
+    })
+    rows = [{
+        "l_returnflag": b["key"],
+        "doc_count": b["doc_count"],
+        "count_q": b["q"]["count"],
+        "min_q": b["q"]["min"],
+        "max_q": b["q"]["max"],
+        "sum_q": b["q"]["sum"],
+        "avg_q": round(b["q"]["avg"], 6),
+    } for b in res["flags"]["buckets"]]
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+SQL_AGG_STATS_BY_RETURNFLAG = """
+SELECT l_returnflag,
+       count(*) AS doc_count,
+       count(l_quantity) AS count_q,
+       min(l_quantity) AS min_q,
+       max(l_quantity) AS max_q,
+       sum(l_quantity) AS sum_q,
+       round(avg(l_quantity), 6) AS avg_q
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# 2. histogram over orders ------------------------------------------------
+
+def q_agg_histogram_orders(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    res = run_aggregations(ds, {
+        "price": {"histogram": {"field": "o_totalprice", "interval": 50000}}
+    })
+    rows = [{"bucket": float(b["key"]), "doc_count": b["doc_count"]}
+            for b in res["price"]["buckets"]]
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+SQL_AGG_HISTOGRAM_ORDERS = """
+SELECT floor(o_totalprice / 50000) * 50000 AS bucket,
+       count(*) AS doc_count
+FROM orders GROUP BY 1
+"""
+
+
+# 3. date_histogram over events (per hour) -------------------------------
+
+def q_agg_date_histogram_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def to_epoch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(
+            pc.floor(pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                               1_000_000)),
+            pa.int64(),
+        )
+        return pa.table({"epoch_s": secs})
+
+    ds = ds.map_batches(to_epoch, batch_format="pyarrow", **remote_args())
+    res = run_aggregations(ds, {
+        "per_hour": {"date_histogram": {"field": "epoch_s",
+                                        "fixed_interval": 3600}}
+    })
+    rows = [{"bucket": int(b["key"]), "doc_count": b["doc_count"]}
+            for b in res["per_hour"]["buckets"]]
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+SQL_AGG_DATE_HISTOGRAM_EVENTS = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+       count(*) AS doc_count
+FROM events GROUP BY 1
+"""
+
+
+# 4. range buckets + avg sub-agg over events ------------------------------
+
+def q_agg_range_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["value"])
+    res = run_aggregations(ds, {
+        "v": {
+            "range": {"field": "value",
+                      "ranges": [{"to": 5}, {"from": 5, "to": 20},
+                                 {"from": 20}]},
+            "aggs": {"m": {"avg": {"field": "value"}}},
+        }
+    })
+    rows = [{
+        "bucket": b["key"],
+        "doc_count": b["doc_count"],
+        "avg_value": round(b["m"]["value"], 6) if b["m"]["value"] is not None else None,
+    } for b in res["v"]["buckets"]]
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+SQL_AGG_RANGE_EVENTS = """
+SELECT CASE WHEN value < 5 THEN '*-5'
+            WHEN value < 20 THEN '5-20'
+            ELSE '20-*' END AS bucket,
+       count(*) AS doc_count,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# 5. terms + filter + value_count over events -----------------------------
+
+def q_agg_terms_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+    res = run_aggregations(ds, {
+        "types": {
+            "terms": {"field": "event_type", "size": 20},
+            "aggs": {
+                "v": {"sum": {"field": "value"}},
+                "n": {"value_count": {"field": "user_id"}},
+            },
+        }
+    })
+    rows = [{
+        "event_type": b["key"],
+        "doc_count": b["doc_count"],
+        "sum_value": round(b["v"]["value"], 6),
+        "n_users": b["n"]["value"],
+    } for b in res["types"]["buckets"]]
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+SQL_AGG_TERMS_EVENTS = """
+SELECT event_type,
+       count(*) AS doc_count,
+       round(sum(value), 6) AS sum_value,
+       count(user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# 6. exact distinct (unique-op parity; HLL is property-tested) ------------
+
+def q_distinct_users(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = ds.unique("user_id")
+    return pa.table({"n_users": pa.array([len(n)], type=pa.int64())})
+
+
+SQL_DISTINCT_USERS = (
+    "SELECT count(DISTINCT user_id) AS n_users FROM events"
+)
+
+
+AGG_QUERIES: Dict = {
+    "agg_stats_by_returnflag": q_agg_stats_by_returnflag,
+    "agg_histogram_orders": q_agg_histogram_orders,
+    "agg_date_histogram_events": q_agg_date_histogram_events,
+    "agg_range_events": q_agg_range_events,
+    "agg_terms_events": q_agg_terms_events,
+    "distinct_users": q_distinct_users,
+}
+
+AGG_ORACLE_SQL: Dict[str, str] = {
+    "agg_stats_by_returnflag": SQL_AGG_STATS_BY_RETURNFLAG,
+    "agg_histogram_orders": SQL_AGG_HISTOGRAM_ORDERS,
+    "agg_date_histogram_events": SQL_AGG_DATE_HISTOGRAM_EVENTS,
+    "agg_range_events": SQL_AGG_RANGE_EVENTS,
+    "agg_terms_events": SQL_AGG_TERMS_EVENTS,
+    "distinct_users": SQL_DISTINCT_USERS,
+}

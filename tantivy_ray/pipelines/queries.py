@@ -531,6 +531,8 @@ SELECT query_vec_id, rank, vec_id FROM ranked WHERE rank < {ANN_K}
 # registry
 # ----------------------------------------------------------------------
 
+from .agg_queries import AGG_ORACLE_SQL, AGG_QUERIES  # noqa: E402
+
 QUERIES: Dict = {
     "token_counts": q_token_counts,
     "term_doc_freqs": q_term_doc_freqs,
@@ -543,6 +545,7 @@ QUERIES: Dict = {
     "histogram_len": q_histogram_len,
     "facet_counts": q_facet_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
+    **AGG_QUERIES,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -557,4 +560,5 @@ ORACLE_SQL: Dict[str, str] = {
     "histogram_len": SQL_HISTOGRAM_LEN,
     "facet_counts": SQL_FACET_COUNTS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    **AGG_ORACLE_SQL,
 }

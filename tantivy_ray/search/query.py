@@ -1,0 +1,437 @@
+"""Query AST + per-segment evaluator — the read-side operator algebra.
+
+Re-expresses the reference's Query → Weight → per-segment Scorer inventory
+(SURVEY §2.9; /root/reference/src/query/) over our segments.  Every node
+evaluates to a per-segment docset (ascending int64 doc ids) + f32 scores;
+the evaluator is fully vectorized (numpy set algebra) — the Ray analog of
+tantivy's DocSet cursor combinators:
+
+- TermQuery        (term_query/, BM25-scored posting list)
+- BooleanQuery     (boolean_query/: Must/Should/MustNot + SumCombiner,
+                    minimum_number_should_match)
+- PhraseQuery      (phrase_query/phrase_scorer.rs:47-141: positions
+                    intersection after docset intersection; tf = number of
+                    phrase matches; weight = Σ idf, bm25.rs:120-127)
+- BoostQuery / ConstScoreQuery (boost_query.rs, const_score_query.rs)
+- DisjunctionMaxQuery (disjunction_max_query.rs: max + tie_breaker * rest)
+- TermSetQuery     (set_query.rs: union with DoNothingCombiner → score 1.0)
+- AllQuery / EmptyQuery (all_query.rs — const score 1.0 / empty_query.rs)
+- RangeQuery       (range_query/: term-range union over the sorted dict)
+- FuzzyTermQuery   (fuzzy_query.rs: Levenshtein distance <= d expansion,
+                    optional transposition, prefix)
+- RegexQuery       (regex_query.rs: regex over the term dict)
+- ExistsQuery      (exist_query.rs: docs with any token in the field)
+- MoreLikeThisQuery (more_like_this/: weighted term query from a document)
+
+Scoring identities: f32 throughout; unions add child scores in child order
+(SumCombiner); Must-only intersections sum all must scores; MustNot
+excludes without scoring (reference Exclude docset).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..bm25 import Bm25Weight, idf
+from ..index.segment import SegmentReader
+
+DocScores = Tuple[np.ndarray, np.ndarray]  # (docs int64 asc, scores f32)
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Query:
+    pass
+
+
+@dataclass
+class TermQuery(Query):
+    term: str
+
+
+@dataclass
+class BooleanQuery(Query):
+    must: List[Query] = field(default_factory=list)
+    should: List[Query] = field(default_factory=list)
+    must_not: List[Query] = field(default_factory=list)
+    minimum_should_match: int = 0
+
+
+@dataclass
+class PhraseQuery(Query):
+    terms: List[str]
+    slop: int = 0
+
+
+@dataclass
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+
+@dataclass
+class ConstScoreQuery(Query):
+    query: Query
+    score: float = 1.0
+
+
+@dataclass
+class DisjunctionMaxQuery(Query):
+    queries: List[Query]
+    tie_breaker: float = 0.0
+
+
+@dataclass
+class TermSetQuery(Query):
+    terms: List[str]
+
+
+@dataclass
+class AllQuery(Query):
+    pass
+
+
+@dataclass
+class EmptyQuery(Query):
+    pass
+
+
+@dataclass
+class RangeQuery(Query):
+    lower: Optional[str] = None      # inclusive
+    upper: Optional[str] = None      # exclusive
+    include_upper: bool = False
+
+
+@dataclass
+class FuzzyTermQuery(Query):
+    term: str
+    distance: int = 1
+    transposition: bool = True
+    prefix: bool = False
+
+
+@dataclass
+class RegexQuery(Query):
+    pattern: str
+
+
+@dataclass
+class ExistsQuery(Query):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _levenshtein_leq(a: str, b: str, k: int, transposition: bool) -> bool:
+    """Damerau/Levenshtein distance <= k (banded DP)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (transposition and i > 1 and j > 1
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        if hi < lb:
+            cur[hi + 1:] = [k + 1] * (lb - hi)
+        if min(cur) > k:
+            return False
+        prev2, prev = prev, cur
+    return prev[lb] <= k
+
+
+def expand_fuzzy(reader: SegmentReader, q: FuzzyTermQuery) -> List[str]:
+    out = []
+    for t in reader.terms():
+        if q.prefix:
+            # prefix fuzzy: distance computed on the prefix of t
+            cand = t[: len(q.term) + q.distance]
+            if _levenshtein_leq(q.term, cand, q.distance, q.transposition):
+                out.append(t)
+        elif _levenshtein_leq(q.term, t, q.distance, q.transposition):
+            out.append(t)
+    return out
+
+
+def expand_regex(reader: SegmentReader, pattern: str) -> List[str]:
+    rx = re.compile(pattern)
+    return [t for t in reader.terms() if rx.fullmatch(t)]
+
+
+def expand_range(reader: SegmentReader, q: RangeQuery) -> List[str]:
+    terms = reader.terms()  # sorted
+    import bisect
+
+    lo = bisect.bisect_left(terms, q.lower) if q.lower is not None else 0
+    if q.upper is None:
+        hi = len(terms)
+    elif q.include_upper:
+        hi = bisect.bisect_right(terms, q.upper)
+    else:
+        hi = bisect.bisect_left(terms, q.upper)
+    return terms[lo:hi]
+
+
+def phrase_match_counts(reader: SegmentReader, terms: Sequence[str],
+                        slop: int = 0) -> DocScores:
+    """→ (docs, phrase_tf) for docs containing the phrase.
+
+    slop=0: exact adjacency (positions of term i, shifted by -i, intersect).
+    slop>0: every term within `slop` of its expected position, in order —
+    a simplification of the reference's slop automaton documented here.
+    """
+    post = [reader.postings(t) for t in terms]
+    if any(p is None for p in post):
+        return np.empty(0, np.int64), np.empty(0, np.uint32)
+    common = post[0][0].astype(np.int64)
+    for p in post[1:]:
+        common = np.intersect1d(common, p[0].astype(np.int64),
+                                assume_unique=True)
+    if len(common) == 0:
+        return common, np.empty(0, np.uint32)
+    pos_lists = [reader.positions(t) for t in terms]
+    if any(p is None for p in pos_lists):
+        raise ValueError("phrase query requires positions "
+                         "(build with record_positions=True)")
+    # map doc -> posting ordinal per term
+    idx = [np.searchsorted(p[0], common) for p in post]
+    docs_out = []
+    tfs_out = []
+    for ci, doc in enumerate(common):
+        if slop == 0:
+            inter = pos_lists[0][idx[0][ci]].astype(np.int64)
+            for ti in range(1, len(terms)):
+                inter = np.intersect1d(
+                    inter, pos_lists[ti][idx[ti][ci]].astype(np.int64) - ti,
+                    assume_unique=True)
+                if len(inter) == 0:
+                    break
+            cnt = len(inter)
+        else:
+            starts = pos_lists[0][idx[0][ci]].astype(np.int64)
+            cnt = 0
+            for s in starts:
+                ok = True
+                for ti in range(1, len(terms)):
+                    pl = pos_lists[ti][idx[ti][ci]].astype(np.int64)
+                    if not ((np.abs(pl - (s + ti)) <= slop).any()):
+                        ok = False
+                        break
+                if ok:
+                    cnt += 1
+        if cnt:
+            docs_out.append(doc)
+            tfs_out.append(cnt)
+    return (np.array(docs_out, dtype=np.int64),
+            np.array(tfs_out, dtype=np.uint32))
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+# ---------------------------------------------------------------------------
+
+class QueryEvaluator:
+    """Evaluates a Query against one segment with GLOBAL stats.
+
+    ``stats`` carries total_num_docs, average_fieldnorm and a doc_freq
+    callable so sharded searchers score identically to single-node ones.
+    """
+
+    def __init__(self, reader: SegmentReader, total_num_docs: int,
+                 average_fieldnorm: float,
+                 doc_freq_of=None):
+        self.reader = reader
+        self.total_num_docs = total_num_docs
+        self.average_fieldnorm = np.float32(average_fieldnorm)
+        self._df = doc_freq_of or (lambda t: reader.doc_freq(t))
+        self._weights: Dict[str, Bm25Weight] = {}
+
+    def _weight(self, term: str) -> Optional[Bm25Weight]:
+        w = self._weights.get(term)
+        if w is None:
+            df = self._df(term)
+            if df == 0:
+                return None
+            w = Bm25Weight.for_one_term(
+                df, self.total_num_docs, self.average_fieldnorm)
+            self._weights[term] = w
+        return w
+
+    def _empty(self) -> DocScores:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+    def _union_terms_const(self, terms: Sequence[str], score: float) -> DocScores:
+        sets = []
+        for t in terms:
+            p = self.reader.postings(t)
+            if p is not None:
+                sets.append(p[0].astype(np.int64))
+        if not sets:
+            return self._empty()
+        docs = np.unique(np.concatenate(sets))
+        return docs, np.full(len(docs), np.float32(score), dtype=np.float32)
+
+    def evaluate(self, q: Query) -> DocScores:
+        fids = self.reader.fieldnorm_ids
+        if isinstance(q, TermQuery):
+            w = self._weight(q.term)
+            p = self.reader.postings(q.term) if w is not None else None
+            if p is None:
+                return self._empty()
+            docs, tfs = p
+            return docs.astype(np.int64), w.score(fids[docs], tfs)
+
+        if isinstance(q, EmptyQuery):
+            return self._empty()
+
+        if isinstance(q, AllQuery):
+            docs = np.arange(self.reader.num_docs, dtype=np.int64)
+            return docs, np.ones(len(docs), dtype=np.float32)
+
+        if isinstance(q, ExistsQuery):
+            docs = np.flatnonzero(fids > 0).astype(np.int64)
+            return docs, np.ones(len(docs), dtype=np.float32)
+
+        if isinstance(q, BoostQuery):
+            docs, scores = self.evaluate(q.query)
+            return docs, (scores * np.float32(q.boost)).astype(np.float32)
+
+        if isinstance(q, ConstScoreQuery):
+            docs, _ = self.evaluate(q.query)
+            return docs, np.full(len(docs), np.float32(q.score),
+                                 dtype=np.float32)
+
+        if isinstance(q, TermSetQuery):
+            return self._union_terms_const(q.terms, 1.0)
+
+        if isinstance(q, RangeQuery):
+            return self._union_terms_const(expand_range(self.reader, q), 1.0)
+
+        if isinstance(q, (FuzzyTermQuery, RegexQuery)):
+            terms = (expand_fuzzy(self.reader, q)
+                     if isinstance(q, FuzzyTermQuery)
+                     else expand_regex(self.reader, q.pattern))
+            # union of BM25 term scorers (automaton weight over the dict)
+            return self.evaluate(BooleanQuery(should=[TermQuery(t) for t in terms]))
+
+        if isinstance(q, PhraseQuery):
+            docs, tfs = phrase_match_counts(self.reader, q.terms, q.slop)
+            if len(docs) == 0:
+                return self._empty()
+            dfs = [self._df(t) for t in q.terms]
+            if any(d == 0 for d in dfs):
+                return self._empty()
+            w = Bm25Weight.for_terms(dfs, self.total_num_docs,
+                                     self.average_fieldnorm)
+            return docs, w.score(fids[docs], tfs)
+
+        if isinstance(q, DisjunctionMaxQuery):
+            children = [self.evaluate(c) for c in q.queries]
+            children = [c for c in children if len(c[0])]
+            if not children:
+                return self._empty()
+            docs = np.unique(np.concatenate([c[0] for c in children]))
+            mx = np.full(len(docs), np.float32(-np.inf), dtype=np.float32)
+            sm = np.zeros(len(docs), dtype=np.float32)
+            for cdocs, cscores in children:
+                pos = np.searchsorted(docs, cdocs)
+                np.maximum.at(mx, pos, cscores)
+                sm[pos] += cscores
+            tie = np.float32(q.tie_breaker)
+            return docs, (mx + tie * (sm - mx)).astype(np.float32)
+
+        if isinstance(q, BooleanQuery):
+            return self._eval_boolean(q)
+
+        raise TypeError(f"unknown query type {type(q).__name__}")
+
+    def _eval_boolean(self, q: BooleanQuery) -> DocScores:
+        must = [self.evaluate(c) for c in q.must]
+        should = [self.evaluate(c) for c in q.should]
+        must_not = [self.evaluate(c) for c in q.must_not]
+
+        if q.must:
+            docs = must[0][0]
+            for m in must[1:]:
+                docs = np.intersect1d(docs, m[0], assume_unique=True)
+        elif q.should:
+            docs = np.unique(np.concatenate([s[0] for s in should])) \
+                if should else np.empty(0, dtype=np.int64)
+        else:
+            return self._empty()
+        if len(docs) == 0:
+            return self._empty()
+
+        msm = q.minimum_should_match
+        if q.must and q.should and msm == 0:
+            pass  # should clauses only contribute score
+        if msm > 0 and should:
+            cnt = np.zeros(len(docs), dtype=np.int32)
+            for sdocs, _ in should:
+                hit = np.isin(docs, sdocs, assume_unique=True)
+                cnt += hit
+            keep = cnt >= msm
+            docs = docs[keep]
+            if len(docs) == 0:
+                return self._empty()
+        elif not q.must and should and msm == 0:
+            pass
+
+        for ndocs, _ in must_not:
+            if len(ndocs):
+                docs = docs[~np.isin(docs, ndocs, assume_unique=True)]
+        if len(docs) == 0:
+            return self._empty()
+
+        # SumCombiner: sum scoring children (must first, then should) in
+        # clause order, f32 stepwise
+        acc = np.zeros(len(docs), dtype=np.float32)
+        for cdocs, cscores in must + should:
+            if len(cdocs) == 0:
+                continue
+            pos = np.searchsorted(cdocs, docs)
+            pos = np.clip(pos, 0, len(cdocs) - 1)
+            hit = cdocs[pos] == docs
+            acc[hit] += cscores[pos[hit]]
+        return docs, acc
+
+
+def evaluate_topk(readers: Sequence[SegmentReader], query: Query,
+                  total_num_docs: int, average_fieldnorm: float,
+                  k: int, doc_freq_of=None) -> List[Tuple[float, int, int]]:
+    """Evaluate over segments + merge with collector tie rules."""
+    from .searcher import merge_topk
+
+    hits: List[Tuple[float, int, int]] = []
+    for r in readers:
+        ev = QueryEvaluator(r, total_num_docs, average_fieldnorm, doc_freq_of)
+        docs, scores = ev.evaluate(query)
+        if len(docs) > k:
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            keep = scores >= kth
+            docs, scores = docs[keep], scores[keep]
+        order = np.lexsort((docs, -scores))[:k]
+        hits.extend(
+            (float(scores[i]), r.segment_ord, int(docs[i])) for i in order
+        )
+    return merge_topk(hits, k)

@@ -186,6 +186,29 @@ class IndexSearcher:
         terms = [t.text for t in ana.analyze(query)]
         return self.search(terms, mode, k, use_wand=use_wand)
 
+    def search_query(self, query, k: int = 10,
+                     doc_freq_of=None) -> List[TopHit]:
+        """Evaluate a Query AST (search.query) with global stats."""
+        from .query import evaluate_topk
+
+        return evaluate_topk(
+            self.readers, query, self.total_num_docs,
+            self.average_fieldnorm, k,
+            doc_freq_of=doc_freq_of or self.doc_freq,
+        )
+
+    def search_phrase(self, terms: Sequence[str], k: int = 10,
+                      slop: int = 0) -> List[TopHit]:
+        from .query import PhraseQuery
+
+        return self.search_query(PhraseQuery(list(terms), slop), k)
+
+    def parse_and_search(self, query_text: str, k: int = 10) -> List[TopHit]:
+        from .queryparser import QueryParser
+
+        q = QueryParser(analyzer=self.manifest.analyzer).parse(query_text)
+        return self.search_query(q, k)
+
     def hydrate(self, hits: Sequence[TopHit]):
         """(score, seg, doc) → list of dicts with the stored id column."""
         out = []

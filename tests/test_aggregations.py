@@ -1,0 +1,163 @@
+"""Aggregation framework unit tests: partial/merge/finalize contract
+(reference intermediate_agg_result.rs:50,251 — mergeable across shards),
+sketch accuracy, and ES-shaped responses."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tantivy_ray.aggregations import (
+    HyperLogLog,
+    LogBucketSketch,
+    compute_partial,
+    finalize,
+    merge_partials,
+)
+
+
+def run_local(aggs, batches):
+    merged = None
+    for b in batches:
+        p = compute_partial(aggs, b)
+        merged = p if merged is None else merge_partials(aggs, merged, p)
+    return finalize(aggs, merged or {})
+
+
+def split_batches(data, n_parts):
+    n = len(next(iter(data.values())))
+    out = []
+    for i in range(n_parts):
+        sl = slice(i * n // n_parts, (i + 1) * n // n_parts)
+        out.append({k: v[sl] for k, v in data.items()})
+    return out
+
+
+class TestMetrics:
+    def setup_method(self):
+        rs = np.random.RandomState(7)
+        self.vals = rs.normal(100, 15, size=5000)
+        self.data = {"x": self.vals}
+
+    @pytest.mark.parametrize("n_parts", [1, 3, 7])
+    def test_stats_merge_invariant(self, n_parts):
+        aggs = {"s": {"extended_stats": {"field": "x"}}}
+        res = run_local(aggs, split_batches(self.data, n_parts))["s"]
+        assert res["count"] == 5000
+        assert res["min"] == pytest.approx(self.vals.min())
+        assert res["max"] == pytest.approx(self.vals.max())
+        assert res["sum"] == pytest.approx(self.vals.sum(), rel=1e-12)
+        assert res["avg"] == pytest.approx(self.vals.mean(), rel=1e-12)
+        assert res["std_deviation"] == pytest.approx(self.vals.std(), rel=1e-6)
+
+    def test_simple_metrics(self):
+        aggs = {
+            "a": {"avg": {"field": "x"}},
+            "mn": {"min": {"field": "x"}},
+            "mx": {"max": {"field": "x"}},
+            "sm": {"sum": {"field": "x"}},
+            "n": {"value_count": {"field": "x"}},
+        }
+        res = run_local(aggs, split_batches(self.data, 4))
+        assert res["a"]["value"] == pytest.approx(self.vals.mean())
+        assert res["mn"]["value"] == self.vals.min()
+        assert res["mx"]["value"] == self.vals.max()
+        assert res["n"]["value"] == 5000
+
+    def test_percentiles_accuracy(self):
+        aggs = {"p": {"percentiles": {"field": "x",
+                                      "percents": [5, 50, 95]}}}
+        res = run_local(aggs, split_batches(self.data, 5))["p"]["values"]
+        for p in (5, 50, 95):
+            exact = np.percentile(self.vals, p)
+            assert res[str(p)] == pytest.approx(exact, rel=0.02)
+
+    def test_cardinality_accuracy(self):
+        rs = np.random.RandomState(3)
+        ids = rs.randint(0, 20000, size=100_000)
+        aggs = {"c": {"cardinality": {"field": "u"}}}
+        res = run_local(aggs, split_batches({"u": ids}, 6))["c"]["value"]
+        true = len(np.unique(ids))
+        assert abs(res - true) / true < 0.05
+
+
+class TestBuckets:
+    def setup_method(self):
+        rs = np.random.RandomState(11)
+        self.data = {
+            "cat": np.array(list("abcab" * 200)),
+            "v": rs.uniform(0, 100, size=1000),
+        }
+
+    def test_terms_with_subagg(self):
+        aggs = {"t": {"terms": {"field": "cat", "size": 2},
+                      "aggs": {"s": {"sum": {"field": "v"}}}}}
+        res = run_local(aggs, split_batches(self.data, 3))["t"]["buckets"]
+        # 'a' 400, 'b' 400, 'c' 200 → size-2 keeps a, b (count desc, key asc)
+        assert [b["key"] for b in res] == ["a", "b"]
+        assert res[0]["doc_count"] == 400
+        mask = self.data["cat"] == "a"
+        assert res[0]["s"]["value"] == pytest.approx(self.data["v"][mask].sum())
+
+    def test_histogram(self):
+        aggs = {"h": {"histogram": {"field": "v", "interval": 25}}}
+        res = run_local(aggs, split_batches(self.data, 4))["h"]["buckets"]
+        assert [b["key"] for b in res] == [0.0, 25.0, 50.0, 75.0]
+        assert sum(b["doc_count"] for b in res) == 1000
+
+    def test_range_and_filter(self):
+        aggs = {
+            "r": {"range": {"field": "v",
+                            "ranges": [{"to": 50}, {"from": 50}]}},
+            "f": {"filter": {"term": {"field": "cat", "value": "c"}},
+                  "aggs": {"m": {"max": {"field": "v"}}}},
+        }
+        res = run_local(aggs, split_batches(self.data, 2))
+        cnt = {b["key"]: b["doc_count"] for b in res["r"]["buckets"]}
+        assert cnt["*-50"] == int((self.data["v"] < 50).sum())
+        assert res["f"]["doc_count"] == 200
+        cmask = self.data["cat"] == "c"
+        assert res["f"]["m"]["value"] == pytest.approx(self.data["v"][cmask].max())
+
+
+class TestSketches:
+    def test_hll_merge_equals_union(self):
+        a, b = HyperLogLog(12), HyperLogLog(12)
+        a.add_values(range(0, 5000))
+        b.add_values(range(2500, 8000))
+        a.merge(b)
+        assert abs(a.estimate() - 8000) / 8000 < 0.05
+
+    def test_sketch_merge_equals_whole(self):
+        rs = np.random.RandomState(5)
+        v = rs.lognormal(3, 1, 10000)
+        whole = LogBucketSketch()
+        whole.add_many(v)
+        s1, s2 = LogBucketSketch(), LogBucketSketch()
+        s1.add_many(v[:6000]); s2.add_many(v[6000:])
+        s1.merge(s2)
+        for q in (0.1, 0.5, 0.9):
+            assert s1.quantile(q) == pytest.approx(whole.quantile(q))
+
+    def test_negative_and_zero(self):
+        s = LogBucketSketch()
+        s.add_many(np.array([-10.0, -1.0, 0.0, 1.0, 10.0]))
+        assert s.quantile(0.5) == pytest.approx(0.0, abs=1e-9)
+        assert s.quantile(0.0) == pytest.approx(-10, rel=0.02)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRayExecution:
+    def test_over_dataset(self, sf_dir):
+        import ray.data as rd
+        import os
+
+        from tantivy_ray.aggregations import run_aggregations
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_returnflag", "l_quantity"])
+        res = run_aggregations(ds, {
+            "flags": {"terms": {"field": "l_returnflag", "size": 5},
+                      "aggs": {"q": {"avg": {"field": "l_quantity"}}}}
+        }, batch_size=1000)
+        assert sum(b["doc_count"] for b in res["flags"]["buckets"]) == 6000

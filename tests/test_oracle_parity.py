@@ -47,11 +47,13 @@ def queries_list(names=None):
     return names
 
 
-@pytest.mark.parametrize("name", [
-    "token_counts", "term_doc_freqs", "corpus_stats", "top_terms",
-    "topk_bm25", "dedup_exact", "fingerprint", "quality",
-    "histogram_len", "facet_counts", "ann_cosine_topk",
-])
+def _oracle_names():
+    from tantivy_ray.pipelines.queries import ORACLE_SQL
+
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(contract, con, name):
     fn = contract.queries()[name]
     sql = contract.oracle_sql()[name]

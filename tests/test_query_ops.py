@@ -1,0 +1,242 @@
+"""Query algebra + parser tests: semantics vs brute-force python over a
+known corpus (reference test model for boolean/phrase/fuzzy/regex ops)."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tantivy_ray.analyzer import get_analyzer
+from tantivy_ray.index.manifest import IndexManifest, write_manifest
+from tantivy_ray.index.segment import build_segment_from_table
+from tantivy_ray.search import IndexSearcher
+from tantivy_ray.search.query import (
+    AllQuery,
+    BooleanQuery,
+    BoostQuery,
+    ConstScoreQuery,
+    DisjunctionMaxQuery,
+    EmptyQuery,
+    ExistsQuery,
+    FuzzyTermQuery,
+    PhraseQuery,
+    RangeQuery,
+    RegexQuery,
+    TermQuery,
+    TermSetQuery,
+    _levenshtein_leq,
+)
+from tantivy_ray.search.queryparser import QueryParser
+
+CORPUS = [
+    [
+        "the quick brown fox jumps over the lazy dog",
+        "quick brown foxes are quick and quick",
+        "lazy dogs sleep all day",
+        "fox",
+        "",
+        "the quick fox the quick fox",
+        "brown dog quick fox",
+    ],
+    [
+        "the fox and the dog",
+        "quack brown box",
+        "quick brown fox quick brown fox quick brown fox",
+    ],
+]
+
+
+@pytest.fixture(scope="module")
+def ix(tmp_path_factory):
+    d = tmp_path_factory.mktemp("qix")
+    metas = []
+    for si, seg in enumerate(CORPUS):
+        t = pa.table({
+            "url": [f"s{si}d{i}" for i in range(len(seg))],
+            "text": seg,
+        })
+        metas.append(build_segment_from_table(
+            t, si, str(d), record_positions=True))
+    write_manifest(str(d), IndexManifest(
+        segments=metas, record_positions=True))
+    return IndexSearcher(str(d))
+
+
+def docs_of(hits):
+    return [(h[1], h[2]) for h in hits]
+
+
+def matching(pred):
+    out = []
+    ana = get_analyzer("default")
+    for si, seg in enumerate(CORPUS):
+        for di, txt in enumerate(seg):
+            toks = [t.text for t in ana.analyze(txt)]
+            if pred(toks):
+                out.append((si, di))
+    return out
+
+
+class TestQueryAlgebra:
+    def test_term_matches_search(self, ix):
+        assert ix.search_query(TermQuery("fox"), 10) == ix.search(["fox"], "or", 10)
+
+    def test_boolean_or_and_parity(self, ix):
+        q_or = BooleanQuery(should=[TermQuery("quick"), TermQuery("dog")])
+        assert ix.search_query(q_or, 10) == ix.search(["quick", "dog"], "or", 10)
+        q_and = BooleanQuery(must=[TermQuery("quick"), TermQuery("dog")])
+        assert ix.search_query(q_and, 10) == ix.search(["quick", "dog"], "and", 10)
+
+    def test_must_not(self, ix):
+        q = BooleanQuery(must=[TermQuery("fox")], must_not=[TermQuery("dog")])
+        got = set(docs_of(ix.search_query(q, 20)))
+        exp = set(matching(lambda t: "fox" in t and "dog" not in t))
+        assert got == exp
+
+    def test_minimum_should_match(self, ix):
+        q = BooleanQuery(
+            should=[TermQuery("quick"), TermQuery("brown"), TermQuery("fox")],
+            minimum_should_match=2,
+        )
+        got = set(docs_of(ix.search_query(q, 20)))
+        exp = set(matching(
+            lambda t: sum(w in t for w in ("quick", "brown", "fox")) >= 2))
+        assert got == exp
+
+    def test_phrase_exact(self, ix):
+        q = PhraseQuery(["quick", "brown", "fox"])
+        got = set(docs_of(ix.search_query(q, 20)))
+        def has_phrase(toks):
+            return any(toks[i:i + 3] == ["quick", "brown", "fox"]
+                       for i in range(len(toks)))
+        assert got == set(matching(has_phrase))
+
+    def test_phrase_tf_affects_score(self, ix):
+        hits = ix.search_query(PhraseQuery(["quick", "brown", "fox"]), 5)
+        # segment 1 doc 2 repeats the phrase 3 times → ranks first
+        assert (hits[0][1], hits[0][2]) == (1, 2)
+
+    def test_phrase_slop(self, ix):
+        # "quick fox" within slop 1 matches "quick brown fox"
+        got0 = set(docs_of(ix.search_query(PhraseQuery(["quick", "fox"]), 20)))
+        got1 = set(docs_of(ix.search_query(PhraseQuery(["quick", "fox"], slop=1), 20)))
+        assert got0 <= got1
+        assert (0, 5) in got0     # "the quick fox the quick fox"
+        assert (0, 0) in got1 - got0  # "quick brown fox" needs slop 1
+
+    def test_boost_and_const(self, ix):
+        base = ix.search_query(TermQuery("fox"), 10)
+        boosted = ix.search_query(BoostQuery(TermQuery("fox"), 2.0), 10)
+        assert docs_of(base) == docs_of(boosted)
+        for b, g in zip(base, boosted):
+            assert g[0] == pytest.approx(2 * b[0], rel=1e-6)
+        const = ix.search_query(ConstScoreQuery(TermQuery("fox"), 0.5), 10)
+        assert all(h[0] == 0.5 for h in const)
+
+    def test_dismax(self, ix):
+        q = DisjunctionMaxQuery(
+            [TermQuery("quick"), TermQuery("dog")], tie_breaker=0.5)
+        hits = {(h[1], h[2]): h[0] for h in ix.search_query(q, 20)}
+        tq = {(h[1], h[2]): h[0] for h in ix.search_query(TermQuery("quick"), 20)}
+        td = {(h[1], h[2]): h[0] for h in ix.search_query(TermQuery("dog"), 20)}
+        for d, s in hits.items():
+            a, b = tq.get(d, 0.0), td.get(d, 0.0)
+            assert s == pytest.approx(max(a, b) + 0.5 * min(a, b), rel=1e-5)
+
+    def test_termset_all_empty_exists(self, ix):
+        ts = ix.search_query(TermSetQuery(["fox", "box", "nothere"]), 30)
+        exp = set(matching(lambda t: "fox" in t or "box" in t))
+        assert set(docs_of(ts)) == exp
+        assert all(h[0] == 1.0 for h in ts)
+        assert len(ix.search_query(AllQuery(), 100)) == 10  # all docs
+        assert ix.search_query(EmptyQuery(), 10) == []
+        ex = ix.search_query(ExistsQuery(), 100)
+        assert set(docs_of(ex)) == set(matching(lambda t: len(t) > 0))
+
+    def test_range(self, ix):
+        q = RangeQuery("box", "dog")  # [box, dog) lexicographic
+        got = set(docs_of(ix.search_query(q, 30)))
+        vocab_in_range = lambda t: any("box" <= w < "dog" for w in t)
+        assert got == set(matching(vocab_in_range))
+
+    def test_fuzzy(self, ix):
+        # quick ~1 matches quack; fox ~1 matches box
+        got = set(docs_of(ix.search_query(FuzzyTermQuery("quick", 1), 30)))
+        exp = set(matching(lambda t: "quick" in t or "quack" in t))
+        assert got == exp
+        got = set(docs_of(ix.search_query(FuzzyTermQuery("fox", 1), 30)))
+        exp = set(matching(lambda t: "fox" in t or "box" in t))
+        assert got == exp
+
+    def test_levenshtein_transposition(self):
+        assert _levenshtein_leq("abc", "acb", 1, True)
+        assert not _levenshtein_leq("abc", "acb", 1, False)
+        assert _levenshtein_leq("abc", "acb", 2, False)
+
+    def test_regex(self, ix):
+        got = set(docs_of(ix.search_query(RegexQuery("qu.ck"), 30)))
+        exp = set(matching(lambda t: "quick" in t or "quack" in t))
+        assert got == exp
+
+
+class TestQueryParser:
+    P = QueryParser()
+
+    def test_default_disjunction(self, ix):
+        q = self.P.parse("quick dog")
+        assert isinstance(q, BooleanQuery) and len(q.should) == 2
+        assert ix.search_query(q, 10) == ix.search(["quick", "dog"], "or", 10)
+
+    def test_occurs(self):
+        q = self.P.parse("+fox -dog brown")
+        assert isinstance(q, BooleanQuery)
+        assert [t.term for t in q.must] == ["fox"]
+        assert [t.term for t in q.must_not] == ["dog"]
+        assert [t.term for t in q.should] == ["brown"]
+
+    def test_and_or_not(self, ix):
+        q = self.P.parse("quick AND dog")
+        assert ix.search_query(q, 10) == ix.search(["quick", "dog"], "and", 10)
+        q = self.P.parse("fox AND NOT dog")
+        got = set(docs_of(ix.search_query(q, 20)))
+        assert got == set(matching(lambda t: "fox" in t and "dog" not in t))
+
+    def test_phrase_and_slop(self):
+        q = self.P.parse('"Quick Brown fox"')
+        assert isinstance(q, PhraseQuery) and q.terms == ["quick", "brown", "fox"]
+        q = self.P.parse('"quick fox"~2')
+        assert isinstance(q, PhraseQuery) and q.slop == 2
+
+    def test_boost_fuzzy_field(self):
+        q = self.P.parse("fox^2.5")
+        assert isinstance(q, BoostQuery) and q.boost == 2.5
+        q = self.P.parse("fox~1")
+        assert isinstance(q, FuzzyTermQuery) and q.distance == 1
+        q = self.P.parse("text:fox")
+        assert isinstance(q, TermQuery) and q.term == "fox"
+        with pytest.raises(ValueError):
+            self.P.parse("badfield:fox")
+
+    def test_range_set_regex_all(self):
+        q = self.P.parse("[box TO dog}")
+        assert isinstance(q, RangeQuery) and q.lower == "box" and not q.include_upper
+        q = self.P.parse("IN [fox box]")
+        assert isinstance(q, TermSetQuery) and q.terms == ["fox", "box"]
+        q = self.P.parse("/qu.ck/")
+        assert isinstance(q, RegexQuery)
+        q = self.P.parse("*")
+        assert isinstance(q, AllQuery)
+
+    def test_conjunction_by_default(self, ix):
+        p = QueryParser(conjunction_by_default=True)
+        q = p.parse("quick dog")
+        assert ix.search_query(q, 10) == ix.search(["quick", "dog"], "and", 10)
+
+    def test_parse_and_search(self, ix):
+        hits = ix.parse_and_search('"quick brown fox" AND dog', 10)
+        got = set(docs_of(hits))
+        def pred(toks):
+            return (any(toks[i:i+3] == ["quick", "brown", "fox"]
+                        for i in range(len(toks))) and "dog" in toks)
+        assert got == set(matching(pred))
