@@ -94,7 +94,8 @@ def run_bench() -> dict:
     ix = os.path.join(BENCH_ROOT, f"ix_{NUM_CPUS}")
     shutil.rmtree(ix, ignore_errors=True)
     t0 = time.time()
-    docs_per_segment = max(1000, -(-total_pages // (N_PARTITIONS * replicas)))
+    n_parts = min(256, N_PARTITIONS * replicas)
+    docs_per_segment = max(1000, -(-total_pages // n_parts))
     manifest = build_index(inputs, ix, docs_per_segment=docs_per_segment)
     t_build = time.time() - t0
     stages["index_build"] = round(t_build, 3)

@@ -1,0 +1,37 @@
+"""Exact dedup — hash-partition + keep-first (SURVEY §2.7).
+
+Scale shape: a content hash is computed vectorized per batch; the groupby
+shuffles only (hash, id) pairs — never the payload — and keep-first picks
+the smallest id per hash group deterministically."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+from ..utils import remote_args
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset of (id_col) rows to KEEP (first id per distinct content)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.sha256((t or "").encode()).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "content_hash": pa.array(h, type=pa.string()),
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", **remote_args())
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: [g[id_col].min()]})
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pandas", **remote_args()
+    )

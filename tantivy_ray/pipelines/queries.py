@@ -532,6 +532,7 @@ SELECT query_vec_id, rank, vec_id FROM ranked WHERE rank < {ANN_K}
 # ----------------------------------------------------------------------
 
 from .agg_queries import AGG_ORACLE_SQL, AGG_QUERIES  # noqa: E402
+from .dedup_queries import DEDUP_ORACLE_SQL, DEDUP_QUERIES  # noqa: E402
 
 QUERIES: Dict = {
     "token_counts": q_token_counts,
@@ -546,6 +547,7 @@ QUERIES: Dict = {
     "facet_counts": q_facet_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     **AGG_QUERIES,
+    **DEDUP_QUERIES,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -561,4 +563,5 @@ ORACLE_SQL: Dict[str, str] = {
     "facet_counts": SQL_FACET_COUNTS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     **AGG_ORACLE_SQL,
+    **DEDUP_ORACLE_SQL,
 }

@@ -1,0 +1,233 @@
+"""Dedup suite + ANN + text functions + multimodal plumbing tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tantivy_ray.dedup import (
+    MinHasher,
+    SimHasher,
+    exact_dedup,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from tantivy_ray.dedup.simhash import hamming
+from tantivy_ray.ann import IvfIndex, brute_force_cosine_topk
+from tantivy_ray.functions import (
+    detect_language_batch,
+    fingerprint_batch,
+    quality_features_batch,
+)
+from tantivy_ray.multimodal import (
+    DecodeImageStage,
+    ExtractImageFeaturesStage,
+    FrameSampleStage,
+    ResizeImageStage,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest tonight")
+NEAR = BASE + " extra"
+OTHER = "completely different content about databases and query engines here"
+
+
+class TestMinHashUnit:
+    def test_signature_similarity_tracks_jaccard(self):
+        h = MinHasher(256)
+        a = h.signature(BASE.split())
+        b = h.signature(NEAR.split())
+        c = h.signature(OTHER.split())
+        sim_ab = (a == b).mean()
+        sim_ac = (a == c).mean()
+        assert sim_ab > 0.7 > sim_ac
+
+    def test_short_doc_excluded(self):
+        h = MinHasher()
+        assert h.signature(["a", "b"]) is None
+
+
+class TestSimHashUnit:
+    def test_near_docs_low_hamming(self):
+        s = SimHasher()
+        fa = s.fingerprint(BASE.split())
+        fb = s.fingerprint(NEAR.split())
+        fc = s.fingerprint(OTHER.split())
+        assert hamming(fa, fb) <= 12
+        assert hamming(fa, fc) > 10
+
+    def test_deterministic(self):
+        s = SimHasher()
+        assert s.fingerprint(BASE.split()) == s.fingerprint(BASE.split())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupPipelines:
+    @pytest.fixture(scope="class")
+    def docs_ds(self):
+        import ray.data as rd
+
+        return rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def test_lsh_equals_bruteforce(self, docs_ds):
+        lsh = minhash_lsh_pairs(docs_ds, threshold=0.8)
+        brute = ngram_jaccard_pairs(docs_ds, threshold=0.8)
+        assert lsh.equals(brute)
+        assert lsh.num_rows > 0  # planted 'dup' docs
+
+    def test_simhash_finds_planted_dups(self, docs_ds):
+        pairs = simhash_pairs(docs_ds, max_distance=10)
+        brute = ngram_jaccard_pairs(docs_ds, threshold=0.9)
+        simhash_set = set(zip(pairs.column("id_a").to_pylist(),
+                              pairs.column("id_b").to_pylist()))
+        jacc_set = set(zip(brute.column("id_a").to_pylist(),
+                           brute.column("id_b").to_pylist()))
+        # jaccard ~0.99 pairs sit at hamming 1-5 (≈64·θ/π) — banding at
+        # distance 7 is recall-exact, so every true pair must be found
+        assert jacc_set <= simhash_set
+
+    def test_exact_dedup(self, docs_ds):
+        kept = exact_dedup(docs_ds).to_pandas()
+        assert len(kept) == 500  # no exact dups in this corpus
+        import ray.data as rd
+
+        dup_ds = rd.from_items([
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "same"},
+            {"doc_id": 3, "text": "diff"},
+        ])
+        kept = exact_dedup(dup_ds).to_pandas().sort_values("doc_id")
+        assert kept["doc_id"].tolist() == [1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    @pytest.fixture(scope="class")
+    def emb_ds(self):
+        import ray.data as rd
+
+        return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def _queries(self):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        rows = t.slice(0, 3)
+        qids = np.array(rows.column("vec_id").to_pylist())
+        qm = np.stack([np.asarray(v, np.float64)
+                       for v in rows.column("embedding").to_pylist()])
+        return qids, qm
+
+    def test_ivf_recall_vs_brute(self, emb_ds):
+        qids, qm = self._queries()
+        brute = brute_force_cosine_topk(
+            emb_ds, qids, qm, k=10, exclude_ids=set(qids.tolist()))
+        ivf = IvfIndex.build(emb_ds, n_lists=8, seed=11)
+        bp = brute.to_pandas()
+        total, hit = 0, 0
+        for qi, q in zip(qids, qm):
+            exp = set(bp[bp.query_vec_id == qi]["vec_id"])
+            got = {vid for _, vid in
+                   ivf.search(q, k=10, nprobe=4, exclude=set(qids.tolist()))}
+            total += len(exp)
+            hit += len(exp & got)
+        assert hit / total >= 0.6  # nprobe=4 of 8 lists
+
+        # full probe = exact
+        for qi, q in zip(qids, qm):
+            exp = bp[bp.query_vec_id == qi]["vec_id"].tolist()
+            got = [vid for _, vid in
+                   ivf.search(q, k=10, nprobe=8, exclude=set(qids.tolist()))]
+            assert got == exp
+
+    def test_embedding_near_dups_lsh_path(self, emb_ds):
+        exact = embedding_near_dup_pairs(emb_ds, threshold=0.4)
+        lsh = embedding_near_dup_pairs(emb_ds, threshold=0.4, lsh_bits=2)
+        # lsh candidates ⊆ exact; high threshold keeps most
+        le = set(zip(lsh.column("id_a").to_pylist(), lsh.column("id_b").to_pylist()))
+        ee = set(zip(exact.column("id_a").to_pylist(), exact.column("id_b").to_pylist()))
+        assert le <= ee
+
+
+class TestTextFunctions:
+    def test_langid(self):
+        arr = pa.array([
+            "the quick fox is not a dog",
+            "der hund ist nicht auf dem tisch und das ist gut",
+            "le chat est dans la maison avec les enfants",
+            "el perro es un animal que vive en la casa",
+            "Русский текст и не только он",
+            "",
+            "zzz qqq www",
+        ])
+        langs = detect_language_batch(arr).to_pylist()
+        assert langs[:5] == ["en", "de", "fr", "es", "ru"]
+        assert langs[5] == "und"
+
+    def test_quality_features(self):
+        t = quality_features_batch(pa.array([
+            "The quick brown fox!", "", "a b c 123 456",
+        ]))
+        d = t.to_pydict()
+        assert d["num_tokens"] == [4, 0, 5]
+        assert d["stop_ratio"][0] == pytest.approx(0.25)  # 'the'
+        assert d["digit_ratio"][2] > 0.4
+
+    def test_fingerprints_normalization(self):
+        t = fingerprint_batch(pa.array(["Hello, World!", "hello world"]))
+        assert t.column("md5_fp")[0] == t.column("md5_fp")[1]
+        assert t.column("roll_fp")[0] == t.column("roll_fp")[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_decode_resize_extract_pipeline(self):
+        import ray.data as rd
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"])
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "html", pa.array([x.encode() for x in t.column("text").to_pylist()],
+                                 type=pa.binary())),
+            batch_format="pyarrow")
+        out = (
+            ds.limit(50)
+            .map_batches(DecodeImageStage(32, 32), batch_format="pyarrow",
+                         batch_size=16, concurrency=2)
+            .map_batches(ResizeImageStage((32, 32), (16, 16)),
+                         batch_format="pyarrow", batch_size=16)
+            .map_batches(ExtractImageFeaturesStage((16, 16)),
+                         batch_format="pyarrow", batch_size=16)
+        )
+        tbl = pa.Table.from_pandas(out.to_pandas())
+        assert tbl.num_rows == 50
+        feats = tbl.column("image_features")[0].as_py()
+        assert len(feats) == 6  # 3 means + 3 stds
+
+    def test_decode_deterministic(self):
+        a = DecodeImageStage(8, 8)
+        t = pa.table({"html": pa.array([b"xyz"], type=pa.binary())})
+        r1 = a(t).column("image")[0].as_py()
+        r2 = a(t).column("image")[0].as_py()
+        assert r1 == r2
+
+    def test_strict_mode_raises(self):
+        a = DecodeImageStage(8, 8, strict=True)
+        t = pa.table({"html": pa.array([b"xyz"], type=pa.binary())})
+        with pytest.raises(NotImplementedError):
+            a(t)
+        f = FrameSampleStage(strict=True)
+        with pytest.raises(NotImplementedError):
+            f(t)
+
+    def test_frame_sampling(self):
+        f = FrameSampleStage(num_frames=3)
+        t = pa.table({"html": pa.array([b"vid1", b"vid2"], type=pa.binary())})
+        out = f(t)
+        frames = out.column("frames").to_pylist()
+        assert len(frames[0]) == 3
+        assert frames[0] != frames[1]
