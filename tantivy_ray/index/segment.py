@@ -100,18 +100,20 @@ def build_segment_from_table(
         pos_blob = b""
     else:
         dict_arr = pc.dictionary_encode(flat)
-        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
         vocab: pa.Array = dict_arr.dictionary
 
         # sorted term order (term dict is a sorted map — reference
         # src/termdict/mod.rs:21-29; sorted table replaces the FST)
-        sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
-        rank_of_code = np.empty(len(sort_idx), dtype=np.int64)
-        rank_of_code[sort_idx] = np.arange(len(sort_idx))
+        sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+        rank_of_code = np.empty(len(sort_idx), dtype=np.int32)
+        rank_of_code[sort_idx] = np.arange(len(sort_idx), dtype=np.int32)
 
         term_rank = rank_of_code[codes]
-        # stable sort by (term_rank, doc) — stability keeps positions ascending
-        order = np.lexsort((doc_of_token, term_rank))
+        # flat tokens are already in (doc, position) order, so ONE stable
+        # radix sort by term_rank yields (term, doc, position) order —
+        # cheaper than a two-key lexsort (memory-bandwidth-bound here)
+        order = np.argsort(term_rank, kind="stable")
         tr_sorted = term_rank[order]
         doc_sorted = doc_of_token[order]
 
