@@ -95,7 +95,7 @@ def run_bench() -> dict:
     ix = os.path.join(BENCH_ROOT, f"ix_{NUM_CPUS}")
     shutil.rmtree(ix, ignore_errors=True)
     t0 = time.time()
-    n_parts = min(256, N_PARTITIONS * replicas)
+    n_parts = min(128, N_PARTITIONS * replicas)
     docs_per_segment = max(1000, -(-total_pages // n_parts))
     manifest = build_index(inputs, ix, docs_per_segment=docs_per_segment)
     t_build = time.time() - t0

@@ -102,13 +102,15 @@ class BuildSegmentTask:
     meta.json is written last)."""
 
     def __init__(self, index_dir: str, text_col: str, id_col: str,
-                 analyzer: str, record_positions: bool, columns: List[str]):
+                 analyzer: str, record_positions: bool, columns: List[str],
+                 fast_fields: Optional[List[str]] = None):
         self.index_dir = index_dir
         self.text_col = text_col
         self.id_col = id_col
         self.analyzer = analyzer
         self.record_positions = record_positions
         self.columns = columns
+        self.fast_fields = fast_fields or []
 
     def build_one(self, part: Dict) -> Dict:
         part = _to_py(part)
@@ -135,6 +137,7 @@ class BuildSegmentTask:
             analyzer=self.analyzer,
             record_positions=self.record_positions,
             lineage=lineage,
+            fast_fields=self.fast_fields,
         )
 
     def __call__(self, batch: Dict) -> Dict:
@@ -168,6 +171,7 @@ def build_index(
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     concurrency: Optional[int] = None,
     resume: bool = True,
+    fast_fields: Optional[List[str]] = None,
 ) -> IndexManifest:
     """Build (or resume) an index over parquet inputs with Ray Data.
 
@@ -188,7 +192,8 @@ def build_index(
     if todo:
         task = BuildSegmentTask(
             index_dir, text_col, id_col, analyzer, record_positions,
-            columns=[id_col, text_col],
+            columns=sorted({id_col, text_col, *(fast_fields or [])}),
+            fast_fields=fast_fields,
         )
         ds = rd.from_items(
             [

@@ -59,6 +59,7 @@ def build_segment_from_table(
     analyzer: str = "default",
     record_positions: bool = False,
     lineage: Optional[Dict] = None,
+    fast_fields: Optional[List[str]] = None,
 ) -> Dict:
     """Tokenize + invert one partition and serialize the segment.
 
@@ -210,12 +211,17 @@ def build_segment_from_table(
     )
     pq.write_table(term_table, os.path.join(seg_path, "terms.parquet"))
 
-    doc_table = pa.table(
-        {
-            "doc_id": pa.array(np.arange(num_docs, dtype=np.uint32)),
-            id_col: table.column(id_col),
-        }
-    )
+    # doc-key store + fast fields: plain Arrow columns ARE the columnar
+    # store (reference fastfields, ARCHITECTURE.md §fastfield — Arrow
+    # replaces the bitpacked column files)
+    doc_cols = {
+        "doc_id": pa.array(np.arange(num_docs, dtype=np.uint32)),
+        id_col: table.column(id_col),
+    }
+    for ff in fast_fields or []:
+        if ff != id_col and ff in table.column_names:
+            doc_cols[ff] = table.column(ff)
+    doc_table = pa.table(doc_cols)
     pq.write_table(doc_table, os.path.join(seg_path, "docs.parquet"))
 
     meta = {
@@ -341,6 +347,26 @@ class SegmentReader:
 
     def doc_keys(self, id_col: str = "url") -> pa.Table:
         return pq.read_table(os.path.join(self.path, "docs.parquet"))
+
+    def fast_field(self, name: str) -> np.ndarray:
+        """Columnar per-doc values indexed by doc id (reference fastfield;
+        Arrow column replaces the bitpacked file). Cached after first read."""
+        cache = getattr(self, "_ff_cache", None)
+        if cache is None:
+            cache = self._ff_cache = {}
+        if name not in cache:
+            t = pq.read_table(os.path.join(self.path, "docs.parquet"),
+                              columns=[name])
+            col = t.column(name)
+            try:
+                cache[name] = col.to_numpy()
+            except (pa.ArrowInvalid, ValueError):
+                cache[name] = np.array(col.to_pylist(), dtype=object)
+        return cache[name]
+
+    def fast_field_names(self) -> List[str]:
+        schema = pq.read_schema(os.path.join(self.path, "docs.parquet"))
+        return [n for n in schema.names if n != "doc_id"]
 
     def fieldnorms(self) -> np.ndarray:
         return ids_to_fieldnorms(self.fieldnorm_ids)

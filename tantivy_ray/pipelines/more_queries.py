@@ -1,0 +1,388 @@
+"""Phrase search, sessionization, snippets, MoreLikeThis — contract entries.
+
+- phrase_topk: positions-backed PhraseQuery parity with a SQL oracle that
+  reproduces the phrase-match tf (adjacency self-join over token ordinals)
+  and the f32 phrase BM25 weight (Σ idf · 2.2 — reference bm25.rs:120-127).
+- sessionize_events: the streaming-shaped op per the Ray guide — events as
+  an ordered, partitioned log; session windows (30-min gap) computed per
+  user inside ``groupby(user).map_groups`` over the ts-sorted group; the
+  SQL oracle uses lag() window functions.
+- snippets / more_like_this: rows-only (HTML snippets and MLT boosts are
+  not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..utils import remote_args
+from .queries import (
+    FNTAB_SQL,
+    TOK_CTE,
+    TOKENS_EXPR,
+    build_docs_index,
+    _index_cache_dir,
+)
+
+PHRASE_QUERIES = [
+    (0, ["table", "scan"], 10),
+    (1, ["group", "order"], 10),
+    (2, ["spark", "join", "stream"], 10),
+    (3, ["nosuch", "phrase"], 5),
+]
+
+SESSION_GAP_S = 1800
+
+
+def _positions_index(sf_dir: str) -> str:
+    from ..index.build import build_index
+
+    idx = _index_cache_dir(sf_dir) + "_pos"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), idx,
+            text_col="text", id_col="doc_id", docs_per_segment=2000,
+            record_positions=True,
+        )
+    return idx
+
+
+def q_phrase_topk(sf_dir: str) -> pa.Table:
+    from ..search import IndexSearcher
+
+    s = IndexSearcher(_positions_index(sf_dir))
+    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
+              for r in s.readers}
+    rows = []
+    for qid, terms, k in PHRASE_QUERIES:
+        for rank, (score, seg, doc) in enumerate(s.search_phrase(terms, k)):
+            rows.append((qid, rank, int(key_of[seg][doc])))
+    pdf = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"]).astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def _sql_phrase_topk() -> str:
+    per_q = []
+    for qid, terms, k in PHRASE_QUERIES:
+        conds = " AND ".join(
+            f"t{i}.term = '{t}'" for i, t in enumerate(terms)
+        )
+        joins = " ".join(
+            f"JOIN tokp t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+            for i in range(1, len(terms))
+        )
+        idf_sum = " + ".join(
+            f"ln(1.0 + (s.n_docs - (SELECT count(DISTINCT doc_id) FROM tok "
+            f"WHERE term = '{t}') + 0.5) / ((SELECT count(DISTINCT doc_id) "
+            f"FROM tok WHERE term = '{t}') + 0.5))"
+            for t in terms
+        )
+        per_q.append(f"""
+SELECT {qid} AS query_id, x.doc_id,
+       CAST(({idf_sum}) * 2.2 * x.tf
+            / (x.tf + 1.2 * (0.25 + 0.75 * fnorm.fn
+               / (s.n_tokens * 1.0 / s.n_docs))) AS FLOAT4) AS score,
+       {k} AS k
+FROM (SELECT t0.doc_id, count(*) AS tf FROM tokp t0 {joins}
+      WHERE {conds} GROUP BY t0.doc_id) x
+JOIN fnorm ON fnorm.doc_id = x.doc_id CROSS JOIN stats s""")
+    union = " UNION ALL ".join(per_q)
+    return f"""
+WITH {TOK_CTE},
+{FNTAB_SQL},
+tokp AS (SELECT doc_id, unnest({TOKENS_EXPR}) AS term,
+                generate_subscripts({TOKENS_EXPR}, 1) - 1 AS pos
+         FROM documents),
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS n_tokens),
+fnorm AS (SELECT d.doc_id,
+          (SELECT max(v) FROM fntab WHERE v <= d.n) AS fn FROM doclen d),
+scored AS ({union}),
+ranked AS (SELECT query_id, doc_id, k,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank < k
+"""
+
+
+def q_sessionize_events(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("datetime64[us]").to_numpy()).astype("int64") // 1_000_000
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > SESSION_GAP_S).sum())
+        longest = 0
+        # longest session length in events
+        breaks = np.flatnonzero(gaps > SESSION_GAP_S)
+        bounds = np.concatenate([[0], breaks + 1, [len(ts)]])
+        longest = int(np.diff(bounds).max())
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [len(ts)],
+            "n_sessions": [n_sessions],
+            "longest_session_events": [longest],
+        })
+
+    out = ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas", **remote_args()
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
+
+
+SQL_SESSIONIZE_EVENTS = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n FROM sessioned
+  GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       count(*) AS n_sessions,
+       max(n) AS longest_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_snippets(sf_dir: str) -> pa.Table:
+    """Rows-only: best-fragment HTML snippets for 'table scan' matches."""
+    import ray.data as rd
+
+    from ..search import IndexSearcher
+    from ..search.snippet import SnippetGenerator
+
+    s = IndexSearcher(build_docs_index(sf_dir))
+    hits = s.search(["table", "scan"], "and", 10)
+    gen = SnippetGenerator.from_terms(["table", "scan"], s, max_num_chars=80)
+    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
+              for r in s.readers}
+    wanted = {int(key_of[seg][doc]): rank
+              for rank, (_, seg, doc) in enumerate(hits)}
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = [(int(d), wanted[int(d)], gen.snippet(t).to_html())
+                for d, t in zip(ids, texts) if int(d) in wanted]
+        rows.sort(key=lambda r: r[1])
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "snippet_html": pa.array([r[2] for r in rows], type=pa.string()),
+        })
+
+    out = ds.map_batches(make, batch_format="pyarrow", **remote_args())
+    pdf = out.to_pandas().sort_values("rank").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """Rows-only: top-10 similar docs to doc 0's text."""
+    import pyarrow.parquet as pq
+
+    from ..search import IndexSearcher
+    from ..search.more_like_this import MoreLikeThis
+
+    s = IndexSearcher(build_docs_index(sf_dir))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    text0 = t.column("text")[0].as_py()
+    mlt = MoreLikeThis(min_doc_frequency=2, max_query_terms=12)
+    hits = mlt.search(text0, s, k=10)
+    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
+              for r in s.readers}
+    return pa.table({
+        "rank": pa.array(range(len(hits)), type=pa.int64()),
+        "doc_id": pa.array([int(key_of[seg][doc]) for _, seg, doc in hits],
+                           type=pa.int64()),
+    })
+
+
+def _ff_index(sf_dir: str) -> str:
+    from ..index.build import build_index
+
+    idx = _index_cache_dir(sf_dir) + "_ff"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), idx,
+            text_col="text", id_col="doc_id", docs_per_segment=2000,
+            fast_fields=["lang", "n_chars", "source"],
+        )
+    return idx
+
+
+def q_topk_bm25_filtered(sf_dir: str) -> pa.Table:
+    """FilterCollector analog: BM25 top-10 for OR('table','scan') among
+    docs with lang='en' (fast-field equality filter)."""
+    from ..search import IndexSearcher
+    from ..search.query import (
+        BooleanQuery, FastFieldFilterQuery, TermQuery,
+    )
+
+    s = IndexSearcher(_ff_index(sf_dir))
+    q = FastFieldFilterQuery(
+        BooleanQuery(should=[TermQuery("table"), TermQuery("scan")]),
+        field="lang", equals="en",
+    )
+    hits = s.search_query(q, 10)
+    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
+              for r in s.readers}
+    return pa.table({
+        "rank": pa.array(range(len(hits)), type=pa.int64()),
+        "doc_id": pa.array([int(key_of[seg][doc]) for _, seg, doc in hits],
+                           type=pa.int64()),
+    })
+
+
+SQL_TOPK_BM25_FILTERED = f"""
+WITH {TOK_CTE},
+{FNTAB_SQL},
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS n_tokens),
+fnorm AS (SELECT d.doc_id,
+          (SELECT max(v) FROM fntab WHERE v <= d.n) AS fn FROM doclen d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term) AS (VALUES ('table'), ('scan')),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2
+             * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * fnorm.fn
+                        / (s.n_tokens * 1.0 / s.n_docs))) AS FLOAT4))
+           AS FLOAT4) AS score
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN fnorm ON fnorm.doc_id = tf.doc_id
+  JOIN documents d2 ON d2.doc_id = tf.doc_id AND d2.lang = 'en'
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
+       doc_id
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_count_matching(sf_dir: str) -> pa.Table:
+    """Count collector: Σ per-segment match counts per query."""
+    from ..search import IndexSearcher
+    from ..search.query import BooleanQuery, TermQuery, count_query
+    from .queries import DOC_QUERIES
+
+    s = IndexSearcher(build_docs_index(sf_dir))
+    rows = []
+    for qid, terms, mode, _ in DOC_QUERIES:
+        tq = [TermQuery(t) for t in terms]
+        q = BooleanQuery(must=tq) if mode == "and" else BooleanQuery(should=tq)
+        n = count_query(s.readers, q, s.total_num_docs,
+                        s.average_fieldnorm, s.doc_freq)
+        rows.append((qid, n))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_matching": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+def _sql_count_matching() -> str:
+    from .queries import DOC_QUERIES
+
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _, _ in DOC_QUERIES for t in terms
+    )
+    qmeta = ", ".join(
+        f"({qid}, {len(terms)}, '{mode}')" for qid, terms, mode, _ in DOC_QUERIES
+    )
+    return f"""
+WITH {TOK_CTE},
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {qvals}),
+qmeta(query_id, n_terms, mode) AS (VALUES {qmeta}),
+matched AS (
+  SELECT q.query_id, dterm.doc_id, count(*) AS hits
+  FROM q JOIN dterm ON dterm.term = q.term
+  GROUP BY q.query_id, dterm.doc_id
+)
+SELECT m.query_id, count(x.doc_id) AS n_matching
+FROM qmeta m LEFT JOIN matched x
+  ON x.query_id = m.query_id
+  AND (m.mode = 'or' OR x.hits = m.n_terms)
+GROUP BY m.query_id
+"""
+
+
+def q_top_by_nchars(sf_dir: str) -> pa.Table:
+    """TopDocs-by-fast-field: docs containing 'merge', ordered n_chars
+    desc, DocAddress-ascending ties."""
+    from ..search import IndexSearcher
+    from ..search.query import TermQuery, topk_by_fast_field
+
+    s = IndexSearcher(_ff_index(sf_dir))
+    hits = topk_by_fast_field(
+        s.readers, TermQuery("merge"), "n_chars", 10, True,
+        s.total_num_docs, s.average_fieldnorm, s.doc_freq,
+    )
+    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
+              for r in s.readers}
+    return pa.table({
+        "rank": pa.array(range(len(hits)), type=pa.int64()),
+        "doc_id": pa.array([int(key_of[seg][doc]) for _, seg, doc in hits],
+                           type=pa.int64()),
+        "n_chars": pa.array([int(v) for v, _, _ in hits], type=pa.int64()),
+    })
+
+
+SQL_TOP_BY_NCHARS = f"""
+WITH {TOK_CTE}
+SELECT ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) - 1 AS rank,
+       d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'merge')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+"""
+
+
+MORE_QUERIES: Dict = {
+    "topk_bm25_filtered": q_topk_bm25_filtered,
+    "count_matching": q_count_matching,
+    "top_by_nchars": q_top_by_nchars,
+    "phrase_topk": q_phrase_topk,
+    "sessionize_events": q_sessionize_events,
+    "snippets": q_snippets,
+    "more_like_this": q_more_like_this,
+}
+
+MORE_ORACLE_SQL: Dict[str, str] = {
+    "phrase_topk": _sql_phrase_topk(),
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "topk_bm25_filtered": SQL_TOPK_BM25_FILTERED,
+    "count_matching": _sql_count_matching(),
+    "top_by_nchars": SQL_TOP_BY_NCHARS,
+    # snippets / more_like_this: rows-only
+}

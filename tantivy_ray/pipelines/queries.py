@@ -157,8 +157,11 @@ def q_corpus_stats(sf_dir: str) -> pa.Table:
 
 
 SQL_CORPUS_STATS = (
+    # CAST: sum(BIGINT) is HUGEINT in DuckDB → floats in pandas, which the
+    # driver's exact value-hash would treat differently from int64
     f"SELECT (SELECT count(*) FROM documents) AS total_num_docs, "
-    f"(SELECT sum(len({TOKENS_EXPR})) FROM documents) AS total_num_tokens"
+    f"(SELECT CAST(sum(len({TOKENS_EXPR})) AS BIGINT) FROM documents) "
+    f"AS total_num_tokens"
 )
 
 
@@ -533,6 +536,7 @@ SELECT query_vec_id, rank, vec_id FROM ranked WHERE rank < {ANN_K}
 
 from .agg_queries import AGG_ORACLE_SQL, AGG_QUERIES  # noqa: E402
 from .dedup_queries import DEDUP_ORACLE_SQL, DEDUP_QUERIES  # noqa: E402
+from .more_queries import MORE_ORACLE_SQL, MORE_QUERIES  # noqa: E402
 
 QUERIES: Dict = {
     "token_counts": q_token_counts,
@@ -548,6 +552,7 @@ QUERIES: Dict = {
     "ann_cosine_topk": q_ann_cosine_topk,
     **AGG_QUERIES,
     **DEDUP_QUERIES,
+    **MORE_QUERIES,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -564,4 +569,5 @@ ORACLE_SQL: Dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     **AGG_ORACLE_SQL,
     **DEDUP_ORACLE_SQL,
+    **MORE_ORACLE_SQL,
 }

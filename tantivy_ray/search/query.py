@@ -128,6 +128,20 @@ class ExistsQuery(Query):
     pass
 
 
+@dataclass
+class FastFieldFilterQuery(Query):
+    """FilterCollector / fast-field range-scan analog (reference
+    src/collector/filter_collector_wrapper.rs:70-145 and the fast-field
+    RangeQuery variant, range_query_fastfield.rs): wraps a query and keeps
+    only docs whose fast-field value passes [lower, upper) / equality."""
+
+    query: Query
+    field: str
+    equals: Optional[object] = None
+    lower: Optional[object] = None   # inclusive
+    upper: Optional[object] = None   # exclusive
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -360,6 +374,20 @@ class QueryEvaluator:
             tie = np.float32(q.tie_breaker)
             return docs, (mx + tie * (sm - mx)).astype(np.float32)
 
+        if isinstance(q, FastFieldFilterQuery):
+            docs, scores = self.evaluate(q.query)
+            if len(docs) == 0:
+                return docs, scores
+            vals = self.reader.fast_field(q.field)[docs]
+            mask = np.ones(len(docs), dtype=bool)
+            if q.equals is not None:
+                mask &= vals == q.equals
+            if q.lower is not None:
+                mask &= vals >= q.lower
+            if q.upper is not None:
+                mask &= vals < q.upper
+            return docs[mask], scores[mask]
+
         if isinstance(q, BooleanQuery):
             return self._eval_boolean(q)
 
@@ -414,6 +442,45 @@ class QueryEvaluator:
             hit = cdocs[pos] == docs
             acc[hit] += cscores[pos[hit]]
         return docs, acc
+
+
+def count_query(readers: Sequence[SegmentReader], query: Query,
+                total_num_docs: int, average_fieldnorm: float,
+                doc_freq_of=None) -> int:
+    """Count collector (reference src/collector/count_collector.rs:37-76):
+    Σ per-segment match counts."""
+    total = 0
+    for r in readers:
+        ev = QueryEvaluator(r, total_num_docs, average_fieldnorm, doc_freq_of)
+        docs, _ = ev.evaluate(query)
+        total += len(docs)
+    return total
+
+
+def topk_by_fast_field(readers: Sequence[SegmentReader], query: Query,
+                       field: str, k: int, descending: bool,
+                       total_num_docs: int, average_fieldnorm: float,
+                       doc_freq_of=None):
+    """TopDocs ordered by a fast field (reference
+    src/collector/sort_key/sort_by_static_fast_value.rs): per-segment top-k
+    by the field value, ties by ascending DocAddress, then merge.
+    → [(value, segment_ord, doc_id)]."""
+    hits = []
+    for r in readers:
+        ev = QueryEvaluator(r, total_num_docs, average_fieldnorm, doc_freq_of)
+        docs, _ = ev.evaluate(query)
+        if len(docs) == 0:
+            continue
+        vals = r.fast_field(field)[docs]
+        # generic desc support (incl. strings): rank values, negate ranks
+        _, inv = np.unique(vals, return_inverse=True)
+        key = -inv if descending else inv
+        order = np.lexsort((docs, key))[:k]
+        hits.extend((vals[i], r.segment_ord, int(docs[i])) for i in order)
+    # two stable sorts → (value asc/desc, seg asc, doc asc)
+    hits.sort(key=lambda h: (h[1], h[2]))
+    hits.sort(key=lambda h: h[0], reverse=descending)
+    return hits[:k]
 
 
 def evaluate_topk(readers: Sequence[SegmentReader], query: Query,
