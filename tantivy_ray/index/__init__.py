@@ -1,4 +1,5 @@
 from .build import build_index, plan_partitions  # noqa: F401
+from .deletes import add_tombstones, clear_tombstones, delete_by_term  # noqa: F401
 from .compression import (  # noqa: F401
     COMPRESSION_BLOCK_SIZE,
     TermPostingsReader,

@@ -1,0 +1,89 @@
+"""Deletes — tombstones + alive filtering.
+
+Reference semantics (ARCHITECTURE.md §Deletes; src/indexer/delete_queue.rs,
+src/fastfield/alive_bitset.rs:20): a delete-by-term marks matching docs in
+an alive bitset; the docs stay in the postings until a merge physically
+drops them, and GLOBAL statistics (doc_freq, total_num_tokens) keep
+counting deleted docs until that merge — scoring therefore matches the
+reference's behavior exactly in the deleted-but-not-merged window.
+
+Our shape: per-segment ``deletes.bin`` (sorted uint32 doc ids), written
+atomically (tmp + rename); SegmentReader exposes an alive mask; scorers
+drop dead candidates after scoring; the merge's ExplodeSegment filters
+dead postings so merged output is physically clean (reference
+src/indexer/merger.rs:736-745).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from .manifest import load_manifest
+from .segment import SegmentReader, segment_dir_name
+
+DELETES_FILE = "deletes.bin"
+
+
+def read_tombstones(seg_path: str) -> Optional[np.ndarray]:
+    p = os.path.join(seg_path, DELETES_FILE)
+    if not os.path.exists(p) or os.path.getsize(p) == 0:
+        return None
+    return np.fromfile(p, dtype=np.uint32)
+
+
+def write_tombstones(seg_path: str, doc_ids: np.ndarray) -> None:
+    """Replace the tombstone set atomically (ids are sorted + deduped)."""
+    ids = np.unique(np.asarray(doc_ids, dtype=np.uint32))
+    tmp = os.path.join(seg_path, DELETES_FILE + ".tmp")
+    ids.tofile(tmp)
+    os.replace(tmp, os.path.join(seg_path, DELETES_FILE))
+
+
+def add_tombstones(seg_path: str, doc_ids: Iterable[int]) -> int:
+    """Union new doc ids into the segment's tombstones. → total dead."""
+    new = np.asarray(list(doc_ids), dtype=np.uint32)
+    cur = read_tombstones(seg_path)
+    merged = new if cur is None else np.union1d(cur, new)
+    write_tombstones(seg_path, merged)
+    return len(merged)
+
+
+def delete_by_term(index_dir: str, term: str) -> Dict[int, int]:
+    """Delete every doc containing `term` (the reference's delete-by-term,
+    src/indexer/index_writer.rs delete path). → {segment_ord: n_deleted}.
+
+    Runs as small Ray tasks (one per segment) — each touches only its own
+    segment's postings and tombstone file."""
+    import ray
+
+    from ..utils import remote_args
+
+    manifest = load_manifest(index_dir)
+
+    @ray.remote
+    def _one(seg_ord: int) -> tuple:
+        seg_path = os.path.join(index_dir, segment_dir_name(seg_ord))
+        r = SegmentReader(seg_path)
+        p = r.postings(term)
+        if p is None or len(p[0]) == 0:
+            return seg_ord, 0
+        return seg_ord, add_tombstones(seg_path, p[0])
+
+    refs = [
+        _one.options(runtime_env=remote_args()["runtime_env"]).remote(
+            s["segment_ord"])
+        for s in manifest.segments
+    ]
+    return dict(ray.get(refs))
+
+
+def clear_tombstones(index_dir: str) -> None:
+    manifest = load_manifest(index_dir)
+    for s in manifest.segments:
+        p = os.path.join(index_dir, segment_dir_name(s["segment_ord"]),
+                         DELETES_FILE)
+        if os.path.exists(p):
+            os.remove(p)

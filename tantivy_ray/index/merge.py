@@ -81,8 +81,14 @@ class ExplodeSegment:
                 "group_key", "term", "salt", "doc_freq",
                 "first_doc", "last_doc", "docs", "tfs", "fids",
             )}
+            alive = reader.alive_mask
             for term in reader.terms():
                 docs, tfs = reader.postings(term)
+                if alive is not None and len(docs):
+                    keep = alive[docs]
+                    docs, tfs = docs[keep], tfs[keep]
+                    if len(docs) == 0:
+                        continue
                 fids = reader.fieldnorm_ids[docs]
                 gdocs = docs.astype(np.int64) + base
                 # salt = global-doc-range bucket: fragments of the same term

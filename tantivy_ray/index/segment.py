@@ -284,6 +284,19 @@ class SegmentReader:
         self.fieldnorm_ids = np.fromfile(
             os.path.join(seg_path, "fieldnorms.bin"), dtype=np.uint8
         )
+        # alive mask: None when no tombstones (deletes.py); loaded once —
+        # a reader is a point-in-time snapshot (ReloadPolicy::Manual)
+        from .deletes import read_tombstones
+
+        dead = read_tombstones(seg_path)
+        if dead is None or len(dead) == 0:
+            self.alive_mask = None
+            self.num_deleted = 0
+        else:
+            self.alive_mask = np.ones(self.num_docs, dtype=bool)
+            self.alive_mask[dead] = False
+            self.num_deleted = len(dead)
+
         # decoded-postings cache: query batches repeat terms heavily
         # (Zipfian logs), and an actor serves many queries — the analog of
         # the reference's reliance on the OS page cache over mmapped

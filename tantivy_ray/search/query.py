@@ -306,6 +306,14 @@ class QueryEvaluator:
         return docs, np.full(len(docs), np.float32(score), dtype=np.float32)
 
     def evaluate(self, q: Query) -> DocScores:
+        docs, scores = self._evaluate(q)
+        alive = self.reader.alive_mask
+        if alive is not None and len(docs):
+            keep = alive[docs]
+            docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
+    def _evaluate(self, q: Query) -> DocScores:
         fids = self.reader.fieldnorm_ids
         if isinstance(q, TermQuery):
             w = self._weight(q.term)

@@ -74,6 +74,9 @@ class SegmentSearcher:
             cand = np.flatnonzero(match_count == len(terms)).astype(np.uint32)
         else:
             cand = np.flatnonzero(match_count > 0).astype(np.uint32)
+        alive = self.reader.alive_mask
+        if alive is not None and len(cand):
+            cand = cand[alive[cand]]
         return cand, acc[cand]
 
     def topk(
@@ -95,7 +98,8 @@ class SegmentSearcher:
             if not readers:
                 return []
             docs, scores = block_max_wand_topk(
-                readers, ws, self.reader.fieldnorm_ids, k
+                readers, ws, self.reader.fieldnorm_ids, k,
+                alive_mask=self.reader.alive_mask,
             )
         else:
             docs, scores = self.score_exhaustive(terms, weights, mode)

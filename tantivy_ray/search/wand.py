@@ -82,7 +82,8 @@ def _block_bounds(reader: TermPostingsReader, weight: Bm25Weight) -> np.ndarray:
 
 
 def _single_term_topk(reader: TermPostingsReader, weight: Bm25Weight,
-                      fids: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+                      fids: np.ndarray, k: int,
+                      alive_mask=None) -> Tuple[np.ndarray, np.ndarray]:
     """Single-scorer fast path (reference block_wand_union.rs:226-265)."""
     bounds = _block_bounds(reader, weight)
     top = _TopK(k)
@@ -90,6 +91,11 @@ def _single_term_topk(reader: TermPostingsReader, weight: Bm25Weight,
         if float(bounds[b]) <= top.threshold():
             continue
         docs, tfs = reader.decode_block(b)
+        if alive_mask is not None:
+            keep = alive_mask[docs]
+            docs, tfs = docs[keep], tfs[keep]
+            if len(docs) == 0:
+                continue
         top.offer_many(docs, weight.score(fids[docs], tfs))
     return top.result()
 
@@ -99,6 +105,7 @@ def block_max_wand_topk(
     weights: Sequence[Bm25Weight],
     fieldnorm_ids: np.ndarray,
     k: int,
+    alive_mask=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """OR-union top-k with block-max pruning → (docs, scores) ordered
     (score desc, doc asc)."""
@@ -108,7 +115,8 @@ def block_max_wand_topk(
     if not readers:
         return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float32)
     if len(readers) == 1:
-        return _single_term_topk(readers[0], weights[0], fieldnorm_ids, k)
+        return _single_term_topk(readers[0], weights[0], fieldnorm_ids, k,
+                                 alive_mask)
 
     nt = len(readers)
     bounds = [_block_bounds(r, w) for r, w in zip(readers, weights)]
@@ -194,6 +202,9 @@ def block_max_wand_topk(
         acc = np.zeros(len(u), dtype=np.float32)
         for docs, sc in zip(cand_docs, cand_scores):  # cand is in term order
             acc[np.searchsorted(u, docs)] += sc
+        if alive_mask is not None:
+            keep = alive_mask[u]
+            u, acc = u[keep], acc[keep]
         top.offer_many(u, acc)
 
     return top.result()

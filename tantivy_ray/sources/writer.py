@@ -1,0 +1,110 @@
+"""IndexWriter facade — the reference's add_document / commit surface.
+
+Mirrors tantivy's ``IndexWriter`` usage (reference src/indexer/
+index_writer.rs: bounded ingest queue :40, add_document :727, commit
+:664) on top of our partition-per-segment build:
+
+- ``add_document(dict)`` buffers rows; when the buffer reaches
+  ``docs_per_segment`` a segment build is dispatched (the arena-flush
+  analog — here the partition IS the memory bound);
+- ``commit()`` seals remaining rows and atomically publishes the manifest
+  (the reference's atomic meta.json rename);
+- ``delete_by_term(term)`` mirrors the delete queue: applied against the
+  committed segments at the next commit (tombstones, see deletes.py);
+- ``rollback()`` drops uncommitted buffered rows (reference opstamp
+  rollback — uncommitted adds vanish).
+
+Segment ordinals continue from the highest committed ordinal, so repeated
+add/commit cycles append segments exactly like the reference's writer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from ..index.deletes import delete_by_term as _delete_by_term
+from ..index.manifest import (
+    IndexManifest,
+    completed_segment_ords,
+    load_manifest,
+    write_manifest,
+)
+from ..index.segment import build_segment_from_table
+
+
+class IndexWriter:
+    def __init__(self, index_dir: str, text_col: str = "text",
+                 id_col: str = "url", analyzer: str = "default",
+                 record_positions: bool = False,
+                 docs_per_segment: int = 100_000,
+                 fast_fields: Optional[List[str]] = None):
+        self.index_dir = index_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.analyzer = analyzer
+        self.record_positions = record_positions
+        self.docs_per_segment = docs_per_segment
+        self.fast_fields = fast_fields
+        os.makedirs(index_dir, exist_ok=True)
+        self._buffer: List[Dict] = []
+        self._pending_deletes: List[str] = []
+        done = completed_segment_ords(index_dir)
+        self._next_ord = max(done) + 1 if done else 0
+
+    # --- ingestion ---
+    def add_document(self, doc: Dict) -> None:
+        self._buffer.append(doc)
+        if len(self._buffer) >= self.docs_per_segment:
+            self._flush()
+
+    def add_documents(self, docs) -> None:
+        for d in docs:
+            self.add_document(d)
+
+    def delete_by_term(self, term: str) -> None:
+        self._pending_deletes.append(term)
+
+    def rollback(self) -> int:
+        n = len(self._buffer)
+        self._buffer.clear()
+        self._pending_deletes.clear()
+        return n
+
+    def _flush(self) -> None:
+        if not self._buffer:
+            return
+        cols: Dict[str, list] = {}
+        for d in self._buffer:
+            for k in (self.id_col, self.text_col, *(self.fast_fields or [])):
+                cols.setdefault(k, []).append(d.get(k))
+        table = pa.table(cols)
+        build_segment_from_table(
+            table, self._next_ord, self.index_dir,
+            text_col=self.text_col, id_col=self.id_col,
+            analyzer=self.analyzer, record_positions=self.record_positions,
+            lineage={"source": "index_writer", "buffered_rows": len(table)},
+            fast_fields=self.fast_fields,
+        )
+        self._next_ord += 1
+        self._buffer.clear()
+
+    # --- commit ---
+    def commit(self) -> IndexManifest:
+        """Seal buffered docs + publish manifest + apply queued deletes."""
+        self._flush()
+        metas = completed_segment_ords(self.index_dir)
+        manifest = IndexManifest(
+            analyzer=self.analyzer,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            record_positions=self.record_positions,
+            segments=[metas[o] for o in sorted(metas)],
+        )
+        write_manifest(self.index_dir, manifest)
+        for term in self._pending_deletes:
+            _delete_by_term(self.index_dir, term)
+        self._pending_deletes.clear()
+        return load_manifest(self.index_dir)
