@@ -178,10 +178,61 @@ class TermPostingsReader:
         return docs, tfs
 
     def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
-        """→ (docs, tfs) for the whole list."""
-        if self.doc_freq == 0:
+        """→ (docs, tfs) for the whole list.
+
+        Full 128-doc blocks are decoded in batches grouped by bit width
+        (one unpackbits + one matmul per distinct width instead of one per
+        block) — posting lists overwhelmingly share widths across blocks,
+        so head terms decode in O(#distinct widths) python steps."""
+        n = self.doc_freq
+        if n == 0:
             z = np.empty(0, dtype=np.uint32)
             return z, z
-        parts = [self.decode_block(b) for b in range(self.n_blocks)]
-        return (np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]))
+        nb = self.n_blocks
+        n_full = nb if n % COMPRESSION_BLOCK_SIZE == 0 else nb - 1
+        docs = np.empty(n, dtype=np.uint32)
+        tfs = np.empty(n, dtype=np.uint32)
+        B = COMPRESSION_BLOCK_SIZE
+        if n_full > 0:
+            doc_bw = np.asarray(self.doc_bw[:n_full])
+            tf_bw = np.asarray(self.tf_bw[:n_full])
+            offs = np.asarray(self.data_off[:n_full], dtype=np.int64)
+            # base doc per block: -1 (virtual) then previous last_doc
+            bases = np.empty(n_full, dtype=np.int64)
+            bases[0] = -1
+            bases[1:] = np.asarray(self.last_doc[:n_full - 1], dtype=np.int64)
+            docs_view = docs[:n_full * B].reshape(n_full, B)
+            tfs_view = tfs[:n_full * B].reshape(n_full, B)
+            for w in np.unique(doc_bw):
+                w = int(w)
+                idx = np.flatnonzero(doc_bw == w)
+                if w == 0:
+                    deltas = np.zeros((len(idx), B), dtype=np.uint32)
+                else:
+                    size = packed_size(B, w)
+                    buf = np.concatenate(
+                        [self._data[offs[i]:offs[i] + size] for i in idx])
+                    deltas = bitunpack(buf, len(idx) * B, w).reshape(len(idx), B)
+                docs_view[idx] = (
+                    np.cumsum(deltas, axis=1, dtype=np.int64)
+                    + bases[idx][:, None]
+                ).astype(np.uint32)
+            for w in np.unique(tf_bw):
+                w = int(w)
+                idx = np.flatnonzero(tf_bw == w)
+                if w == 0:
+                    tfs_view[idx] = 0
+                else:
+                    size = packed_size(B, w)
+                    buf = np.concatenate([
+                        self._data[offs[i] + packed_size(B, int(doc_bw[i])):
+                                   offs[i] + packed_size(B, int(doc_bw[i])) + size]
+                        for i in idx
+                    ])
+                    tfs_view[idx] = bitunpack(
+                        buf, len(idx) * B, w).reshape(len(idx), B)
+        if n_full < nb:
+            tdocs, ttfs = self.decode_block(nb - 1)
+            docs[n_full * B:] = tdocs
+            tfs[n_full * B:] = ttfs
+        return docs, tfs
