@@ -261,8 +261,16 @@ class SegmentReader:
         self.num_tokens = self.meta["num_tokens"]
 
         tt = pq.read_table(os.path.join(seg_path, "terms.parquet"))
-        self._terms = tt.column("term").to_pylist()
-        self._term_ord = {t: i for i, t in enumerate(self._terms)}
+        self._terms_arr = tt.column("term").combine_chunks()
+        # term dict: a hash map for small vocabularies, binary search over
+        # the SORTED term table for large ones (the FST-style sorted map of
+        # the north star — no O(V) python dict build at web-scale vocab)
+        if len(self._terms_arr) <= 200_000:
+            self._terms = self._terms_arr.to_pylist()
+            self._term_ord = {t: i for i, t in enumerate(self._terms)}
+        else:
+            self._terms = None
+            self._term_ord = None
         self._doc_freq = tt.column("doc_freq").to_numpy()
         self._off = tt.column("postings_offset").to_numpy()
         self._len = tt.column("postings_len").to_numpy()
@@ -306,20 +314,35 @@ class SegmentReader:
 
     # --- term dict ---
     def term_ord(self, term: str) -> Optional[int]:
-        return self._term_ord.get(term)
+        if self._term_ord is not None:
+            return self._term_ord.get(term)
+        # binary search the sorted term table (O(log V) arrow scalar reads)
+        lo, hi = 0, len(self._terms_arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = self._terms_arr[mid].as_py()
+            if v < term:
+                lo = mid + 1
+            elif v > term:
+                hi = mid
+            else:
+                return mid
+        return None
 
     def doc_freq(self, term: str) -> int:
-        o = self._term_ord.get(term)
+        o = self.term_ord(term)
         return int(self._doc_freq[o]) if o is not None else 0
 
     def num_terms(self) -> int:
-        return len(self._terms)
+        return len(self._terms_arr)
 
     def terms(self) -> List[str]:
+        if self._terms is None:
+            return self._terms_arr.to_pylist()
         return self._terms
 
     def postings_reader(self, term: str) -> Optional[TermPostingsReader]:
-        o = self._term_ord.get(term)
+        o = self.term_ord(term)
         if o is None:
             return None
         s = int(self._off[o])
@@ -341,7 +364,7 @@ class SegmentReader:
 
     def positions(self, term: str) -> Optional[List[np.ndarray]]:
         """Per-posting position arrays (absolute), doc order."""
-        o = self._term_ord.get(term)
+        o = self.term_ord(term)
         if o is None or self._positions_blob is None or self._pos_off[o] < 0:
             return None
         s = int(self._pos_off[o])

@@ -20,7 +20,7 @@ from ..dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from .queries import TOKENS_EXPR
+from .sql_common import TOKENS_EXPR
 
 JACCARD_THRESHOLD = 0.8
 COS_THRESHOLD = 0.45

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..utils import remote_args
-from .queries import (
+from .sql_common import (
     FNTAB_SQL,
     TOK_CTE,
     TOKENS_EXPR,
@@ -294,7 +294,7 @@ def q_count_matching(sf_dir: str) -> pa.Table:
     """Count collector: Σ per-segment match counts per query."""
     from ..search import IndexSearcher
     from ..search.query import BooleanQuery, TermQuery, count_query
-    from .queries import DOC_QUERIES
+    from .sql_common import DOC_QUERIES
 
     s = IndexSearcher(build_docs_index(sf_dir))
     rows = []
@@ -311,7 +311,7 @@ def q_count_matching(sf_dir: str) -> pa.Table:
 
 
 def _sql_count_matching() -> str:
-    from .queries import DOC_QUERIES
+    from .sql_common import DOC_QUERIES
 
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _, _ in DOC_QUERIES for t in terms

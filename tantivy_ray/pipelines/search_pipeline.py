@@ -51,10 +51,18 @@ class SearcherActor:
         for qid, terms, mode, k in zip(
             batch["query_id"], batch["terms"], batch["mode"], batch["k"]
         ):
-            hits = self.searcher.search(
-                list(terms), str(mode), int(k),
-                doc_freqs=self.doc_freqs, use_wand=self.use_wand,
-            )
+            if str(mode) == "phrase":
+                from ..search.query import PhraseQuery
+
+                hits = self.searcher.search_query(
+                    PhraseQuery(list(terms)), int(k),
+                    doc_freq_of=lambda t: self.doc_freqs.get(t, 0),
+                )
+            else:
+                hits = self.searcher.search(
+                    list(terms), str(mode), int(k),
+                    doc_freqs=self.doc_freqs, use_wand=self.use_wand,
+                )
             for s, seg, doc in hits:
                 out["query_id"].append(int(qid))
                 out["score"].append(np.float32(s))
