@@ -114,6 +114,15 @@ class BuildSegmentTask:
 
     def build_one(self, part: Dict) -> Dict:
         part = _to_py(part)
+        # failpoint (reference tests/failpoints/ via the `fail` crate): a
+        # marker file injects exactly one failure for a segment, proving
+        # retries re-execute deterministically
+        fp = os.path.join(
+            self.index_dir, f".failpoint_once_{part['segment_ord']}")
+        if os.path.exists(fp):
+            os.remove(fp)
+            raise RuntimeError(
+                f"failpoint: injected failure for segment {part['segment_ord']}")
         rgs = part["row_groups"]
         tables = []
         for rg in rgs:
@@ -208,9 +217,12 @@ def build_index(
         from ..utils import remote_args
 
         # one partition per task; plain tasks (analyzer init is cheap,
-        # SURVEY §2.3) — batch_size=1 keeps a task's memory = one partition
+        # SURVEY §2.3) — batch_size=1 keeps a task's memory = one partition.
+        # retry_exceptions: transient task failures re-execute; builds are
+        # deterministic so retries are byte-identical (SURVEY §4 stragglers)
         out = ds.map_batches(
-            task, batch_size=1, batch_format="numpy", **remote_args()
+            task, batch_size=1, batch_format="numpy",
+            retry_exceptions=True, max_retries=3, **remote_args()
         )
         out.materialize()  # small: one row per segment
 

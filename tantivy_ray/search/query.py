@@ -129,6 +129,28 @@ class ExistsQuery(Query):
 
 
 @dataclass
+class PhrasePrefixQuery(Query):
+    """Phrase whose LAST term is a prefix (reference
+    src/query/phrase_prefix_query/): the prefix expands to at most
+    ``max_expansions`` terms from the sorted dict; a doc matches when the
+    phrase matches with any expansion; tf sums matches over expansions."""
+
+    terms: List[str]
+    max_expansions: int = 50
+
+
+@dataclass
+class RegexPhraseQuery(Query):
+    """Phrase where each position holds a regex over the term dict
+    (reference src/query/phrase_query/regex_phrase_weight.rs); plain
+    strings are exact terms."""
+
+    patterns: List[str]
+    slop: int = 0
+    max_expansions: int = 128
+
+
+@dataclass
 class FastFieldFilterQuery(Query):
     """FilterCollector / fast-field range-scan analog (reference
     src/collector/filter_collector_wrapper.rs:70-145 and the fast-field
@@ -204,6 +226,79 @@ def expand_range(reader: SegmentReader, q: RangeQuery) -> List[str]:
     else:
         hi = bisect.bisect_left(terms, q.upper)
     return terms[lo:hi]
+
+
+def phrase_match_counts_multi(reader: SegmentReader,
+                              term_sets: Sequence[Sequence[str]],
+                              slop: int = 0) -> DocScores:
+    """Generalized phrase: position i must hold ANY term of term_sets[i].
+
+    Covers PhrasePrefixQuery (last set = prefix expansions) and
+    RegexPhraseQuery (sets = regex expansions). tf = number of phrase
+    start positions that complete a match (summed over alternatives)."""
+    # keep only terms present; a position with no present term → no match
+    present_sets: List[List[str]] = []
+    for s in term_sets:
+        p = [t for t in s if reader.term_ord(t) is not None]
+        if not p:
+            return np.empty(0, np.int64), np.empty(0, np.uint32)
+        present_sets.append(p)
+
+    # per-position union docsets
+    union_docs = []
+    for p in present_sets:
+        parts = [reader.postings(t)[0].astype(np.int64) for t in p]
+        union_docs.append(np.unique(np.concatenate(parts)))
+    common = union_docs[0]
+    for u in union_docs[1:]:
+        common = np.intersect1d(common, u, assume_unique=True)
+    if len(common) == 0:
+        return common, np.empty(0, np.uint32)
+
+    # per-(position, term) posting docs + positions
+    post = {t: reader.postings(t) for p in present_sets for t in p}
+    pos = {t: reader.positions(t) for p in present_sets for t in p}
+    if any(v is None for v in pos.values()):
+        raise ValueError("phrase query requires positions "
+                         "(build with record_positions=True)")
+
+    docs_out, tfs_out = [], []
+    for doc in common:
+        # union of positions per slot for this doc
+        slot_positions = []
+        ok = True
+        for p in present_sets:
+            parts = []
+            for t in p:
+                d = post[t][0]
+                i = int(np.searchsorted(d, doc))
+                if i < len(d) and d[i] == doc:
+                    parts.append(pos[t][i].astype(np.int64))
+            if not parts:
+                ok = False
+                break
+            slot_positions.append(np.unique(np.concatenate(parts)))
+        if not ok:
+            continue
+        if slop == 0:
+            inter = slot_positions[0]
+            for si in range(1, len(slot_positions)):
+                inter = np.intersect1d(inter, slot_positions[si] - si,
+                                       assume_unique=True)
+                if len(inter) == 0:
+                    break
+            cnt = len(inter)
+        else:
+            cnt = 0
+            for s0 in slot_positions[0]:
+                if all((np.abs(slot_positions[si] - (s0 + si)) <= slop).any()
+                       for si in range(1, len(slot_positions))):
+                    cnt += 1
+        if cnt:
+            docs_out.append(int(doc))
+            tfs_out.append(cnt)
+    return (np.array(docs_out, dtype=np.int64),
+            np.array(tfs_out, dtype=np.uint32))
 
 
 def phrase_match_counts(reader: SegmentReader, terms: Sequence[str],
@@ -363,6 +458,43 @@ class QueryEvaluator:
             dfs = [self._df(t) for t in q.terms]
             if any(d == 0 for d in dfs):
                 return self._empty()
+            w = Bm25Weight.for_terms(dfs, self.total_num_docs,
+                                     self.average_fieldnorm)
+            return docs, w.score(fids[docs], tfs)
+
+        if isinstance(q, (PhrasePrefixQuery, RegexPhraseQuery)):
+            sorted_terms = self.reader.terms()
+            if isinstance(q, PhrasePrefixQuery):
+                import bisect
+
+                prefix = q.terms[-1]
+                lo = bisect.bisect_left(sorted_terms, prefix)
+                exp = []
+                while lo < len(sorted_terms) and len(exp) < q.max_expansions:
+                    if not sorted_terms[lo].startswith(prefix):
+                        break
+                    exp.append(sorted_terms[lo])
+                    lo += 1
+                term_sets = [[t] for t in q.terms[:-1]] + [exp]
+                slop = 0
+                weight_terms = q.terms[:-1] + (exp[:1] or [prefix])
+            else:
+                term_sets = []
+                for pat in q.patterns:
+                    if re.escape(pat) == pat:  # plain literal
+                        term_sets.append([pat])
+                    else:
+                        rx = re.compile(pat)
+                        m = [t for t in sorted_terms if rx.fullmatch(t)]
+                        term_sets.append(m[: q.max_expansions])
+                slop = q.slop
+                weight_terms = [s[0] for s in term_sets if s]
+            if any(not s for s in term_sets):
+                return self._empty()
+            docs, tfs = phrase_match_counts_multi(self.reader, term_sets, slop)
+            if len(docs) == 0:
+                return self._empty()
+            dfs = [max(1, self._df(t)) for t in weight_terms]
             w = Bm25Weight.for_terms(dfs, self.total_num_docs,
                                      self.average_fieldnorm)
             return docs, w.score(fids[docs], tfs)

@@ -240,3 +240,38 @@ class TestQueryParser:
             return (any(toks[i:i+3] == ["quick", "brown", "fox"]
                         for i in range(len(toks))) and "dog" in toks)
         assert got == set(matching(pred))
+
+
+class TestPhrasePrefixAndRegexPhrase:
+    def test_phrase_prefix(self, ix):
+        from tantivy_ray.search.query import PhrasePrefixQuery
+
+        # "quick bro*" matches "quick brown ..." docs
+        got = set(docs_of(ix.search_query(PhrasePrefixQuery(["quick", "bro"]), 20)))
+        def pred(toks):
+            return any(toks[i] == "quick" and toks[i + 1].startswith("bro")
+                       for i in range(len(toks) - 1))
+        assert got == set(matching(pred))
+
+    def test_phrase_prefix_no_expansion(self, ix):
+        from tantivy_ray.search.query import PhrasePrefixQuery
+
+        assert ix.search_query(PhrasePrefixQuery(["quick", "zzz"]), 5) == []
+
+    def test_regex_phrase(self, ix):
+        from tantivy_ray.search.query import RegexPhraseQuery
+
+        # "qu.ck" then literal "brown": matches quick brown and quack brown
+        got = set(docs_of(ix.search_query(
+            RegexPhraseQuery(["qu.ck", "brown"]), 20)))
+        def pred(toks):
+            import re as _re
+            return any(_re.fullmatch("qu.ck", toks[i]) and toks[i + 1] == "brown"
+                       for i in range(len(toks) - 1))
+        assert got == set(matching(pred))
+
+    def test_regex_phrase_tf_counts_alternatives(self, ix):
+        from tantivy_ray.search.query import RegexPhraseQuery
+        # doc (1,2) repeats "quick brown fox" 3x → highest phrase tf
+        hits = ix.search_query(RegexPhraseQuery(["qu.ck", "brown", "fox"]), 5)
+        assert (hits[0][1], hits[0][2]) == (1, 2)
