@@ -142,6 +142,55 @@ class IndexSearcher:
             / np.float32(max(1, self.manifest.total_num_docs))
         )
 
+    # --- global (cross-segment) view: used by the exhaustive fast path ---
+    def _global_view(self):
+        """Concatenated fieldnorms/alive + segment doc-id bases, built once.
+
+        Scoring over ONE global array replaces a python loop over hundreds
+        of segments; global doc order == (segment_ord, doc_id) order, so
+        tie-breaks are unchanged."""
+        gv = getattr(self, "_gv", None)
+        if gv is None:
+            bases = np.zeros(len(self.readers) + 1, dtype=np.int64)
+            for i, r in enumerate(self.readers):
+                bases[i + 1] = bases[i] + r.num_docs
+            fids = (np.concatenate([r.fieldnorm_ids for r in self.readers])
+                    if self.readers else np.empty(0, np.uint8))
+            if any(r.alive_mask is not None for r in self.readers):
+                alive = np.concatenate([
+                    r.alive_mask if r.alive_mask is not None
+                    else np.ones(r.num_docs, dtype=bool)
+                    for r in self.readers
+                ])
+            else:
+                alive = None
+            gv = self._gv = {
+                "bases": bases, "fids": fids, "alive": alive, "post": {}
+            }
+        return gv
+
+    def _global_postings(self, term: str):
+        """(global_docs int64 asc, tfs) concatenated across segments."""
+        gv = self._global_view()
+        hit = gv["post"].get(term)
+        if hit is not None:
+            return hit
+        parts_d, parts_t = [], []
+        for i, r in enumerate(self.readers):
+            p = r.postings(term)
+            if p is None:
+                continue
+            parts_d.append(p[0].astype(np.int64) + gv["bases"][i])
+            parts_t.append(p[1])
+        if parts_d:
+            out = (np.concatenate(parts_d), np.concatenate(parts_t))
+        else:
+            out = None
+        if len(gv["post"]) > 512:
+            gv["post"].pop(next(iter(gv["post"])))
+        gv["post"][term] = out
+        return out
+
     # --- stats ---
     def doc_freq(self, term: str) -> int:
         return sum(r.doc_freq(term) for r in self.readers)
@@ -179,10 +228,59 @@ class IndexSearcher:
         if not terms:
             return []
         weights = self.make_weights(terms, doc_freqs)
+        if not use_wand and len(self.readers) > 1:
+            return self._search_global(terms, weights, mode, k)
         hits: List[TopHit] = []
         for s in self.searchers:
             hits.extend(s.topk(terms, weights, mode, k, use_wand=use_wand))
         return merge_topk(hits, k)
+
+    def _search_global(self, terms, weights, mode: str, k: int) -> List[TopHit]:
+        """Exhaustive scoring over the concatenated global doc space —
+        identical results to per-segment scoring + merge (same f32 ops per
+        doc in term order; global doc order == DocAddress order).
+
+        Memory: one f32 + one i32 accumulator over THIS SEARCHER's docs —
+        bounded by the shard a searcher actor holds (millions), never the
+        whole corpus; at 10^12 docs the sharded pipeline splits segments
+        across actors and each runs this path over its own shard."""
+        gv = self._global_view()
+        n = int(gv["bases"][-1])
+        fids = gv["fids"]
+        acc = np.zeros(n, dtype=np.float32)
+        match_count = np.zeros(n, dtype=np.int32)
+        n_present = 0
+        for term, w in zip(terms, weights):
+            p = self._global_postings(term)
+            if p is None:
+                continue
+            n_present += 1
+            docs, tfs = p
+            acc[docs] += w.score(fids[docs], tfs)
+            match_count[docs] += 1
+        if mode == "and":
+            if n_present < len(terms):
+                return []
+            cand = np.flatnonzero(match_count == len(terms))
+        else:
+            cand = np.flatnonzero(match_count > 0)
+        if gv["alive"] is not None and len(cand):
+            cand = cand[gv["alive"][cand]]
+        if len(cand) == 0:
+            return []
+        scores = acc[cand]
+        if len(cand) > k:
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        cand, scores = cand[order], scores[order]
+        seg_of = np.searchsorted(gv["bases"], cand, side="right") - 1
+        ords = [r.segment_ord for r in self.readers]
+        return [
+            (float(s), ords[int(si)], int(d - gv["bases"][int(si)]))
+            for s, si, d in zip(scores, seg_of, cand)
+        ]
 
     def search_text(self, query: str, mode: str = "or", k: int = 10,
                     use_wand: bool = False) -> List[TopHit]:
