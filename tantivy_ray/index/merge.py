@@ -229,6 +229,67 @@ def merge_segments(
     return meta
 
 
+class MergedSearcher:
+    """BM25 top-k served from the term-partitioned merged output.
+
+    Postings come from the merged super-segments (already global doc ids,
+    bucket-pruned reads); fieldnorms and global stats come from the source
+    index.  Results are identical to IndexSearcher over the unmerged
+    segments (same postings, same f32 kernel) — the demonstration that
+    the wide groupby-term merge yields a servable index."""
+
+    def __init__(self, merged_dir: str, index_dir: str):
+        from ..search.searcher import IndexSearcher
+
+        self.reader = MergedIndexReader(merged_dir)
+        self._src = IndexSearcher(index_dir)
+        self._gv = self._src._global_view()
+        self.total_num_docs = self._src.total_num_docs
+        self.average_fieldnorm = self._src.average_fieldnorm
+
+    def search(self, terms, mode: str = "or", k: int = 10):
+        from ..search.searcher import merge_topk
+
+        terms = list(terms)
+        dfs = {t: self.reader.doc_freq(t) for t in terms}
+        weights = self._src.make_weights(terms, dfs)
+        gv = self._gv
+        n = int(gv["bases"][-1])
+        fids = gv["fids"]
+        acc = np.zeros(n, dtype=np.float32)
+        cnt = np.zeros(n, dtype=np.int32)
+        n_present = 0
+        for t, w in zip(terms, weights):
+            p = self.reader.postings(t)
+            if p is None:
+                continue
+            n_present += 1
+            docs, tfs = p
+            acc[docs] += w.score(fids[docs], tfs)
+            cnt[docs] += 1
+        if mode == "and":
+            if n_present < len(terms):
+                return []
+            cand = np.flatnonzero(cnt == len(terms))
+        else:
+            cand = np.flatnonzero(cnt > 0)
+        if len(cand) == 0:
+            return []
+        scores = acc[cand]
+        if len(cand) > k:
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        cand, scores = cand[order], scores[order]
+        seg_of = np.searchsorted(gv["bases"], cand, side="right") - 1
+        ords = [r.segment_ord for r in self._src.readers]
+        return [
+            (float(s), ords[int(si)], int(d - gv["bases"][int(si)]))
+            for s, si, d in zip(scores, seg_of, cand)
+        ]
+
+
 class MergedIndexReader:
     """Lookup over the merged, term-partitioned postings (bucket pruning:
     only the term's hash bucket is read)."""

@@ -368,7 +368,39 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
 """
 
 
+
+def q_json_term_df(sf_dir: str) -> pa.Table:
+    """JSON dynamic fields: doc_freq of each flattened props.k=<v> term
+    (the JsonObject path-term analog) served from a whitespace-analyzed
+    term index over events.props."""
+    import hashlib as _hashlib
+
+    from ..pipelines.json_fields import build_json_index
+    from ..search import IndexSearcher
+
+    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp/tantivy_ray_cache", f"json_ix_{tag}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_json_index(sf_dir, idx)
+    s = IndexSearcher(idx)
+    rows = [(t, s.doc_freq(t)) for r in s.readers for t in r.terms()]
+    rows.sort()
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], type=pa.string()),
+        "doc_freq": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+SQL_JSON_TERM_DF = """
+SELECT 'props.k=' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+         AS term,
+       count(*) AS doc_freq
+FROM events GROUP BY 1
+"""
+
+
 MORE_QUERIES: Dict = {
+    "json_term_df": q_json_term_df,
     "topk_bm25_filtered": q_topk_bm25_filtered,
     "count_matching": q_count_matching,
     "top_by_nchars": q_top_by_nchars,
@@ -384,5 +416,6 @@ MORE_ORACLE_SQL: Dict[str, str] = {
     "topk_bm25_filtered": SQL_TOPK_BM25_FILTERED,
     "count_matching": _sql_count_matching(),
     "top_by_nchars": SQL_TOP_BY_NCHARS,
+    "json_term_df": SQL_JSON_TERM_DF,
     # snippets / more_like_this: rows-only
 }

@@ -1,0 +1,73 @@
+"""MergedSearcher (serving from the groupby-term merged output) + JSON
+dynamic-field indexing tests."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from tantivy_ray.index import build_index
+from tantivy_ray.index.merge import MergedSearcher, merge_segments
+from tantivy_ray.pipelines.json_fields import FlattenJsonStage, flatten_json
+from tantivy_ray.search import IndexSearcher
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergedSearcher:
+    def test_identical_to_segment_searcher(self, tmp_path):
+        idx = str(tmp_path / "ix")
+        build_index(DOCS, idx, id_col="doc_id", docs_per_segment=120)
+        merged = str(tmp_path / "merged")
+        merge_segments(idx, merged, salt_block_docs=200, num_buckets=8)
+        ms = MergedSearcher(merged, idx)
+        s = IndexSearcher(idx)
+        for terms, mode, k in [
+            (["table", "merge"], "or", 10),
+            (["the"], "or", 25),
+            (["key", "value"], "and", 12),
+            (["nosuch"], "or", 5),
+        ]:
+            assert ms.search(terms, mode, k) == s.search(terms, mode, k), terms
+
+
+class TestJsonFlatten:
+    def test_scalars_and_nesting(self):
+        raw = json.dumps({"k": 69, "a": {"b": "Hello World"},
+                          "l": [1, "x"], "f": 2.0, "t": True, "n": None})
+        terms = flatten_json("props", raw)
+        assert "props.k=69" in terms
+        assert "props.a.b=hello_world" in terms
+        assert "props.l.0=1" in terms and "props.l.1=x" in terms
+        assert "props.f=2" in terms          # float-integer normalization
+        assert "props.t=true" in terms
+        assert "props.n=null" in terms
+
+    def test_invalid_json(self):
+        assert flatten_json("p", "{not json") == []
+        assert flatten_json("p", "") == []
+
+    def test_stage(self):
+        t = pa.table({"props": ['{"k": 1}', '{"k": 2, "z": "A"}']})
+        out = FlattenJsonStage()(t)
+        got = out.column("json_terms").to_pylist()
+        assert got == ["props.k=1", "props.k=2 props.z=a"]
+
+    def test_whitespace_index_roundtrip(self, tmp_path):
+        from tantivy_ray.index.manifest import IndexManifest, write_manifest
+        from tantivy_ray.index.segment import build_segment_from_table
+
+        t = pa.table({
+            "event_id": [0, 1, 2],
+            "json_terms": ["props.k=69 props.z=a", "props.k=69", "props.k=1"],
+        })
+        meta = build_segment_from_table(
+            t, 0, str(tmp_path), text_col="json_terms", id_col="event_id",
+            analyzer="whitespace")
+        write_manifest(str(tmp_path), IndexManifest(
+            analyzer="whitespace", text_col="json_terms", id_col="event_id",
+            segments=[meta]))
+        s = IndexSearcher(str(tmp_path))
+        assert s.doc_freq("props.k=69") == 2
+        assert sorted(h[2] for h in s.search(["props.k=69"], "or", 5)) == [0, 1]
