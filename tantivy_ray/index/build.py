@@ -103,7 +103,8 @@ class BuildSegmentTask:
 
     def __init__(self, index_dir: str, text_col: str, id_col: str,
                  analyzer: str, record_positions: bool, columns: List[str],
-                 fast_fields: Optional[List[str]] = None):
+                 fast_fields: Optional[List[str]] = None,
+                 extra_text_fields: Optional[Dict[str, str]] = None):
         self.index_dir = index_dir
         self.text_col = text_col
         self.id_col = id_col
@@ -111,6 +112,7 @@ class BuildSegmentTask:
         self.record_positions = record_positions
         self.columns = columns
         self.fast_fields = fast_fields or []
+        self.extra_text_fields = extra_text_fields or {}
 
     def build_one(self, part: Dict) -> Dict:
         part = _to_py(part)
@@ -147,6 +149,7 @@ class BuildSegmentTask:
             record_positions=self.record_positions,
             lineage=lineage,
             fast_fields=self.fast_fields,
+            extra_text_fields=self.extra_text_fields,
         )
 
     def __call__(self, batch: Dict) -> Dict:
@@ -181,6 +184,7 @@ def build_index(
     concurrency: Optional[int] = None,
     resume: bool = True,
     fast_fields: Optional[List[str]] = None,
+    extra_text_fields: Optional[Dict[str, str]] = None,
 ) -> IndexManifest:
     """Build (or resume) an index over parquet inputs with Ray Data.
 
@@ -201,8 +205,10 @@ def build_index(
     if todo:
         task = BuildSegmentTask(
             index_dir, text_col, id_col, analyzer, record_positions,
-            columns=sorted({id_col, text_col, *(fast_fields or [])}),
+            columns=sorted({id_col, text_col, *(fast_fields or []),
+                            *(extra_text_fields or {})}),
             fast_fields=fast_fields,
+            extra_text_fields=extra_text_fields,
         )
         ds = rd.from_items(
             [

@@ -60,8 +60,16 @@ def build_segment_from_table(
     record_positions: bool = False,
     lineage: Optional[Dict] = None,
     fast_fields: Optional[List[str]] = None,
+    extra_text_fields: Optional[Dict[str, str]] = None,
 ) -> Dict:
     """Tokenize + invert one partition and serialize the segment.
+
+    ``extra_text_fields`` maps additional column names to analyzers
+    (tantivy's multi-field schema, SURVEY §1.1): their terms are stored
+    field-prefixed (``field\\x00term`` — the analog of the reference's
+    4-byte field-id term prefix, src/schema/term.rs:53-55) with their OWN
+    per-field fieldnorms and token stats; the primary ``text_col`` stays
+    unprefixed (back-compat).
 
     Returns the manifest entry (also persisted as meta.json — writing
     meta.json last makes the segment build atomic-on-rerun: a partial
@@ -86,6 +94,42 @@ def build_segment_from_table(
     doc_of_token = np.repeat(
         np.arange(num_docs, dtype=np.uint32), counts.astype(np.int64)
     )
+
+    # extra text fields: field-prefixed tokens appended to the stream;
+    # per-field fieldnorms + local caches for block-max pair selection
+    field_fids: Dict[str, np.ndarray] = {"": fieldnorm_ids}
+    field_cache: Dict[str, np.ndarray] = {"": local_cache}
+    field_tokens: Dict[str, int] = {}
+    pos_parts = [analyzed.positions.values] if record_positions else []
+    flat_parts = [flat]
+    doc_parts = [doc_of_token]
+    for fname, fanalyzer in (extra_text_fields or {}).items():
+        fa = analyze_batch(table.column(fname), fanalyzer,
+                           with_positions=record_positions)
+        fn_ids = fieldnorms_to_ids(fa.num_tokens.astype(np.uint32))
+        ftok = int(fa.num_tokens.sum())
+        field_fids[fname] = fn_ids
+        field_cache[fname] = compute_tf_cache(
+            np.float32(ftok / max(1, num_docs)))
+        field_tokens[fname] = ftok
+        prefixed = pc.binary_join_element_wise(
+            pa.scalar(fname + "\x00"), fa.tokens.values, "")
+        flat_parts.append(prefixed)
+        doc_parts.append(np.repeat(
+            np.arange(num_docs, dtype=np.uint32),
+            fa.num_tokens.astype(np.int64)))
+        if record_positions:
+            pos_parts.append(fa.positions.values)
+    if len(flat_parts) > 1:
+        flat = pa.concat_arrays([p.combine_chunks() if hasattr(p, "combine_chunks") and isinstance(p, pa.ChunkedArray) else p for p in flat_parts])
+        doc_of_token = np.concatenate(doc_parts)
+
+    def _fids_and_cache_for(term: str):
+        i = term.find("\x00")
+        if i < 0:
+            return fieldnorm_ids, local_cache
+        f = term[:i]
+        return field_fids[f], field_cache[f]
 
     seg_path = os.path.join(out_dir, segment_dir_name(segment_ord))
     os.makedirs(seg_path, exist_ok=True)
@@ -152,8 +196,10 @@ def build_segment_from_table(
         pos_offsets = np.empty(n_terms, dtype=np.int64)
         pos_lens = np.empty(n_terms, dtype=np.int64)
         if record_positions:
+            pos_flat = (pa.concat_arrays(pos_parts)
+                        if len(pos_parts) > 1 else pos_parts[0])
             positions_sorted = (
-                analyzed.positions.values.to_numpy(zero_copy_only=False)
+                pos_flat.to_numpy(zero_copy_only=False)
                 .astype(np.uint32)[order]
             )
 
@@ -161,10 +207,12 @@ def build_segment_from_table(
         pos_chunks: List[bytes] = []
         off = 0
         pos_off = 0
+        term_strings = terms_sorted.to_pylist()
         for i in range(n_terms):
             s, e = term_starts[i], term_ends[i]
+            t_fids, t_cache = _fids_and_cache_for(term_strings[i])
             blob_i = encode_term_postings(
-                post_docs[s:e], tfs_all[s:e], fieldnorm_ids, local_cache
+                post_docs[s:e], tfs_all[s:e], t_fids, t_cache
             )
             offsets[i] = off
             lens[i] = len(blob_i)
@@ -198,6 +246,9 @@ def build_segment_from_table(
             f.write(pos_blob)
     with open(os.path.join(seg_path, "fieldnorms.bin"), "wb") as f:
         f.write(fieldnorm_ids.tobytes())
+    for fname in (extra_text_fields or {}):
+        with open(os.path.join(seg_path, f"fieldnorms.{fname}.bin"), "wb") as f:
+            f.write(field_fids[fname].tobytes())
 
     term_table = pa.table(
         {
@@ -231,6 +282,7 @@ def build_segment_from_table(
         "num_terms": len(term_table),
         "analyzer": analyzer,
         "record_positions": record_positions,
+        "field_stats": field_tokens,  # extra fields: {name: num_tokens}
         "lineage": lineage or {},
         "metrics": {
             "build_secs": round(time.time() - t0, 4),
@@ -383,6 +435,19 @@ class SegmentReader:
 
     def doc_keys(self, id_col: str = "url") -> pa.Table:
         return pq.read_table(os.path.join(self.path, "docs.parquet"))
+
+    def fieldnorm_ids_for(self, field: Optional[str]) -> np.ndarray:
+        """Per-field fieldnorm ids (None/'' = primary field)."""
+        if not field:
+            return self.fieldnorm_ids
+        cache = getattr(self, "_ffn_cache", None)
+        if cache is None:
+            cache = self._ffn_cache = {}
+        if field not in cache:
+            cache[field] = np.fromfile(
+                os.path.join(self.path, f"fieldnorms.{field}.bin"),
+                dtype=np.uint8)
+        return cache[field]
 
     def fast_field(self, name: str) -> np.ndarray:
         """Columnar per-doc values indexed by doc id (reference fastfield;

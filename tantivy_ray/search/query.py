@@ -54,6 +54,7 @@ class Query:
 @dataclass
 class TermQuery(Query):
     term: str
+    field: Optional[str] = None  # None = primary text field
 
 
 @dataclass
@@ -68,6 +69,7 @@ class BooleanQuery(Query):
 class PhraseQuery(Query):
     terms: List[str]
     slop: int = 0
+    field: Optional[str] = None
 
 
 @dataclass
@@ -225,7 +227,9 @@ def expand_range(reader: SegmentReader, q: RangeQuery) -> List[str]:
         hi = bisect.bisect_right(terms, q.upper)
     else:
         hi = bisect.bisect_left(terms, q.upper)
-    return terms[lo:hi]
+    # primary-field ranges skip field-prefixed terms ("f\x00t" interleaves
+    # lexicographically with primary terms)
+    return [t for t in terms[lo:hi] if "\x00" not in t]
 
 
 def phrase_match_counts_multi(reader: SegmentReader,
@@ -368,22 +372,35 @@ class QueryEvaluator:
 
     def __init__(self, reader: SegmentReader, total_num_docs: int,
                  average_fieldnorm: float,
-                 doc_freq_of=None):
+                 doc_freq_of=None,
+                 field_avgs: Optional[Dict[str, float]] = None):
         self.reader = reader
         self.total_num_docs = total_num_docs
         self.average_fieldnorm = np.float32(average_fieldnorm)
         self._df = doc_freq_of or (lambda t: reader.doc_freq(t))
+        self._field_avgs = field_avgs or {}
         self._weights: Dict[str, Bm25Weight] = {}
 
-    def _weight(self, term: str) -> Optional[Bm25Weight]:
-        w = self._weights.get(term)
+    def _avg_for(self, field: Optional[str]) -> np.float32:
+        if field and field in self._field_avgs:
+            return np.float32(self._field_avgs[field])
+        return self.average_fieldnorm
+
+    @staticmethod
+    def _eff(term: str, field: Optional[str]) -> str:
+        return term if not field else f"{field}\x00{term}"
+
+    def _weight(self, term: str, field: Optional[str] = None
+                ) -> Optional[Bm25Weight]:
+        eff = self._eff(term, field)
+        w = self._weights.get(eff)
         if w is None:
-            df = self._df(term)
+            df = self._df(eff)
             if df == 0:
                 return None
             w = Bm25Weight.for_one_term(
-                df, self.total_num_docs, self.average_fieldnorm)
-            self._weights[term] = w
+                df, self.total_num_docs, self._avg_for(field))
+            self._weights[eff] = w
         return w
 
     def _empty(self) -> DocScores:
@@ -411,12 +428,14 @@ class QueryEvaluator:
     def _evaluate(self, q: Query) -> DocScores:
         fids = self.reader.fieldnorm_ids
         if isinstance(q, TermQuery):
-            w = self._weight(q.term)
-            p = self.reader.postings(q.term) if w is not None else None
+            w = self._weight(q.term, q.field)
+            eff = self._eff(q.term, q.field)
+            p = self.reader.postings(eff) if w is not None else None
             if p is None:
                 return self._empty()
             docs, tfs = p
-            return docs.astype(np.int64), w.score(fids[docs], tfs)
+            ffids = self.reader.fieldnorm_ids_for(q.field)
+            return docs.astype(np.int64), w.score(ffids[docs], tfs)
 
         if isinstance(q, EmptyQuery):
             return self._empty()
@@ -452,15 +471,17 @@ class QueryEvaluator:
             return self.evaluate(BooleanQuery(should=[TermQuery(t) for t in terms]))
 
         if isinstance(q, PhraseQuery):
-            docs, tfs = phrase_match_counts(self.reader, q.terms, q.slop)
+            eff_terms = [self._eff(t, q.field) for t in q.terms]
+            docs, tfs = phrase_match_counts(self.reader, eff_terms, q.slop)
             if len(docs) == 0:
                 return self._empty()
-            dfs = [self._df(t) for t in q.terms]
+            dfs = [self._df(t) for t in eff_terms]
             if any(d == 0 for d in dfs):
                 return self._empty()
             w = Bm25Weight.for_terms(dfs, self.total_num_docs,
-                                     self.average_fieldnorm)
-            return docs, w.score(fids[docs], tfs)
+                                     self._avg_for(q.field))
+            ffids = self.reader.fieldnorm_ids_for(q.field)
+            return docs, w.score(ffids[docs], tfs)
 
         if isinstance(q, (PhrasePrefixQuery, RegexPhraseQuery)):
             sorted_terms = self.reader.terms()
@@ -625,13 +646,15 @@ def topk_by_fast_field(readers: Sequence[SegmentReader], query: Query,
 
 def evaluate_topk(readers: Sequence[SegmentReader], query: Query,
                   total_num_docs: int, average_fieldnorm: float,
-                  k: int, doc_freq_of=None) -> List[Tuple[float, int, int]]:
+                  k: int, doc_freq_of=None,
+                  field_avgs=None) -> List[Tuple[float, int, int]]:
     """Evaluate over segments + merge with collector tie rules."""
     from .searcher import merge_topk
 
     hits: List[Tuple[float, int, int]] = []
     for r in readers:
-        ev = QueryEvaluator(r, total_num_docs, average_fieldnorm, doc_freq_of)
+        ev = QueryEvaluator(r, total_num_docs, average_fieldnorm, doc_freq_of,
+                            field_avgs=field_avgs)
         docs, scores = ev.evaluate(query)
         if len(docs) > k:
             kth = np.partition(scores, len(scores) - k)[len(scores) - k]

@@ -195,11 +195,15 @@ class QueryParser:
     def _parse_word(self, raw: str) -> Optional[Query]:
         if raw == "*":
             return AllQuery()
-        # field prefix
+        # field prefix: first configured field is primary (unprefixed terms);
+        # others route to field-scoped queries
+        qfield = None
         if ":" in raw:
             fieldname, rest = raw.split(":", 1)
             if fieldname not in self.fields:
                 raise ValueError(f"unknown field {fieldname!r}")
+            if fieldname != self.fields[0]:
+                qfield = fieldname
             raw = rest
         boost = None
         m = re.match(r"^(.*)\^(\d+(\.\d+)?)$", raw)
@@ -216,10 +220,10 @@ class QueryParser:
         if fuzzy is not None:
             q: Query = FuzzyTermQuery(terms[0], distance=fuzzy)
         elif len(terms) == 1:
-            q = TermQuery(terms[0])
+            q = TermQuery(terms[0], field=qfield)
         else:
             # a single word that analyzes to several tokens → phrase
-            q = PhraseQuery(terms)
+            q = PhraseQuery(terms, field=qfield)
         if boost is not None:
             q = BoostQuery(q, boost)
         return q

@@ -288,6 +288,19 @@ class IndexSearcher:
         terms = [t.text for t in ana.analyze(query)]
         return self.search(terms, mode, k, use_wand=use_wand)
 
+    def field_average_fieldnorms(self) -> Dict[str, float]:
+        """Per-extra-field avg fieldnorm: Σ field tokens / total docs
+        (global, from per-segment field_stats)."""
+        out: Dict[str, float] = {}
+        totals: Dict[str, int] = {}
+        for s in self.manifest.segments:
+            for f, n in (s.get("field_stats") or {}).items():
+                totals[f] = totals.get(f, 0) + int(n)
+        for f, n in totals.items():
+            out[f] = float(np.float32(np.float32(n) / np.float32(
+                max(1, self.total_num_docs))))
+        return out
+
     def search_query(self, query, k: int = 10,
                      doc_freq_of=None) -> List[TopHit]:
         """Evaluate a Query AST (search.query) with global stats."""
@@ -297,6 +310,7 @@ class IndexSearcher:
             self.readers, query, self.total_num_docs,
             self.average_fieldnorm, k,
             doc_freq_of=doc_freq_of or self.doc_freq,
+            field_avgs=self.field_average_fieldnorms(),
         )
 
     def search_phrase(self, terms: Sequence[str], k: int = 10,
