@@ -37,11 +37,15 @@ def idf(doc_freq: int, doc_count: int) -> np.float32:
 
 
 def compute_tf_cache(average_fieldnorm: np.float32) -> np.ndarray:
-    """256-entry f32 cache of K1*(1 - B + B*fieldnorm/avg)."""
+    """256-entry f32 cache of K1*(1 - B + B*fieldnorm/avg).
+
+    avg <= 0 (a field with no tokens at all — nothing will ever be scored
+    against it) falls back to 1.0 to keep the cache finite."""
+    avg = np.float32(average_fieldnorm)
+    if not (avg > 0):
+        avg = np.float32(1.0)
     fieldnorms = FIELD_NORMS_TABLE.astype(np.float32)
-    return (K1 * (ONE - B + B * fieldnorms / np.float32(average_fieldnorm))).astype(
-        np.float32
-    )
+    return (K1 * (ONE - B + B * fieldnorms / avg)).astype(np.float32)
 
 
 class Bm25Weight:

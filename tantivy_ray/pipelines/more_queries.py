@@ -399,7 +399,100 @@ FROM events GROUP BY 1
 """
 
 
+def q_field_scoped_counts(sf_dir: str) -> pa.Table:
+    """Multi-field schema through the contract: docs per source via
+    field-scoped TermQuery over a multi-field index (source/lang indexed
+    as raw extra fields alongside text)."""
+    import hashlib as _hashlib
+
+    from ..index.build import build_index
+    from ..search import IndexSearcher
+    from ..search.query import TermQuery, count_query
+
+    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp/tantivy_ray_cache", f"mf_ix_{tag}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), idx,
+            text_col="text", id_col="doc_id", docs_per_segment=2000,
+            extra_text_fields={"source": "raw", "lang": "raw"},
+        )
+    s = IndexSearcher(idx)
+    sources = sorted({t.split("\x00", 1)[1]
+                      for r in s.readers for t in r.terms()
+                      if t.startswith("source\x00")})
+    rows = [(src, count_query(s.readers, TermQuery(src, field="source"),
+                              s.total_num_docs, s.average_fieldnorm,
+                              s.doc_freq))
+            for src in sources]
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], type=pa.string()),
+        "doc_count": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+SQL_FIELD_SCOPED_COUNTS = (
+    "SELECT source, count(*) AS doc_count FROM documents GROUP BY source"
+)
+
+
+def q_numeric_range_count(sf_dir: str) -> pa.Table:
+    """Inverted-index RangeQuery over order-preserving numeric terms
+    (the reference's term-range variant; fast-field ranges are the other
+    path): counts of events.value in fixed ranges."""
+    import hashlib as _hashlib
+
+    import ray.data as rd
+
+    from ..index.build import build_index
+    from ..index.numeric import EncodeNumericStage
+    from ..search import IndexSearcher
+    from ..search.query import NumericRangeQuery, count_query
+
+    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp/tantivy_ray_cache", f"num_ix_{tag}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        src = os.path.join(sf_dir, "events.parquet")
+        ds = rd.read_parquet(src, columns=["event_id", "value"])
+        enc = ds.map_batches(EncodeNumericStage("value", kind="f64"),
+                             batch_format="pyarrow", **remote_args())
+        import pyarrow.parquet as _pq
+
+        tbl = pa.Table.from_pandas(enc.to_pandas(), preserve_index=False)
+        tbl = tbl.sort_by("event_id").append_column(
+            "dummy_text", pa.array([""] * len(tbl)))
+        os.makedirs(idx, exist_ok=True)
+        enc_path = os.path.join(idx, "events_enc.parquet")
+        _pq.write_table(tbl, enc_path)
+        build_index(enc_path, idx, text_col="dummy_text", id_col="event_id",
+                    docs_per_segment=50_000,
+                    extra_text_fields={"value_enc": "raw"})
+    s = IndexSearcher(idx)
+    ranges = [(0.0, 5.0), (5.0, 20.0), (20.0, 100.0)]
+    rows = []
+    for lo, hi in ranges:
+        q = NumericRangeQuery("value_enc", lo, hi, kind="f64")
+        n = count_query(s.readers, q, s.total_num_docs,
+                        s.average_fieldnorm, s.doc_freq)
+        rows.append((f"{lo}-{hi}", n))
+    return pa.table({
+        "bucket": pa.array([r[0] for r in rows], type=pa.string()),
+        "doc_count": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+SQL_NUMERIC_RANGE_COUNT = """
+SELECT b.bucket, count(e.value) AS doc_count
+FROM (VALUES ('0.0-5.0', 0.0, 5.0), ('5.0-20.0', 5.0, 20.0),
+             ('20.0-100.0', 20.0, 100.0)) AS b(bucket, lo, hi)
+LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.bucket
+"""
+
+
 MORE_QUERIES: Dict = {
+    "numeric_range_count": q_numeric_range_count,
+    "field_scoped_counts": q_field_scoped_counts,
     "json_term_df": q_json_term_df,
     "topk_bm25_filtered": q_topk_bm25_filtered,
     "count_matching": q_count_matching,
@@ -417,5 +510,7 @@ MORE_ORACLE_SQL: Dict[str, str] = {
     "count_matching": _sql_count_matching(),
     "top_by_nchars": SQL_TOP_BY_NCHARS,
     "json_term_df": SQL_JSON_TERM_DF,
+    "field_scoped_counts": SQL_FIELD_SCOPED_COUNTS,
+    "numeric_range_count": SQL_NUMERIC_RANGE_COUNT,
     # snippets / more_like_this: rows-only
 }

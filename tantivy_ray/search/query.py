@@ -110,6 +110,25 @@ class RangeQuery(Query):
     lower: Optional[str] = None      # inclusive
     upper: Optional[str] = None      # exclusive
     include_upper: bool = False
+    field: Optional[str] = None      # None = primary text field
+
+
+def NumericRangeQuery(field: str, lower=None, upper=None,
+                      kind: str = "i64", include_upper: bool = False
+                      ) -> "RangeQuery":
+    """Range over an indexed numeric/date term field (the inverted-index
+    RangeQuery variant; fast-field ranges are FastFieldFilterQuery).
+    Bounds are encoded with the order-preserving codecs (index/numeric.py)."""
+    from ..index.numeric import encode_datetime_s, encode_f64, encode_i64
+
+    enc = {"i64": encode_i64, "f64": encode_f64,
+           "date": encode_datetime_s}[kind]
+    return RangeQuery(
+        lower=enc(lower) if lower is not None else None,
+        upper=enc(upper) if upper is not None else None,
+        include_upper=include_upper,
+        field=field,
+    )
 
 
 @dataclass
@@ -220,6 +239,15 @@ def expand_range(reader: SegmentReader, q: RangeQuery) -> List[str]:
     terms = reader.terms()  # sorted
     import bisect
 
+    if q.field:
+        prefix = q.field + "\x00"
+        lo_key = prefix + (q.lower if q.lower is not None else "")
+        hi_key = (prefix + q.upper) if q.upper is not None else (
+            q.field + "\x01")  # just past every prefixed term
+        lo = bisect.bisect_left(terms, lo_key)
+        hi = (bisect.bisect_right(terms, hi_key) if q.include_upper
+              and q.upper is not None else bisect.bisect_left(terms, hi_key))
+        return [t for t in terms[lo:hi] if t.startswith(prefix)]
     lo = bisect.bisect_left(terms, q.lower) if q.lower is not None else 0
     if q.upper is None:
         hi = len(terms)

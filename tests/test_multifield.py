@@ -133,3 +133,65 @@ class TestFieldQueries:
             if toks & set(primary_terms):
                 expected_docs.add(di)
         assert {h[2] for h in hits} == expected_docs
+
+
+class TestNumericTermFields:
+    def test_encodings_order_preserving(self):
+        import random
+
+        from tantivy_ray.index.numeric import (
+            decode_f64, decode_i64, encode_f64, encode_i64,
+        )
+
+        rs = random.Random(3)
+        ints = [rs.randint(-2**62, 2**62) for _ in range(200)] + [0, -1, 1]
+        encs = [encode_i64(v) for v in ints]
+        assert sorted(encs) == [e for _, e in sorted(zip(ints, encs))]
+        assert all(decode_i64(encode_i64(v)) == v for v in ints)
+
+        floats = [rs.uniform(-1e9, 1e9) for _ in range(200)] + [0.0, -0.0, 1.5, -1.5]
+        fencs = [encode_f64(v) for v in floats]
+        order_by_val = [e for _, e in sorted(zip(floats, fencs))]
+        assert sorted(fencs) == order_by_val
+        assert all(decode_f64(encode_f64(v)) == v for v in floats if v == v)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_numeric_range_query_end_to_end(self, tmp_path):
+        import ray.data as rd
+
+        from tantivy_ray.index.build import build_index
+        from tantivy_ray.index.numeric import EncodeNumericStage
+        from tantivy_ray.search.query import NumericRangeQuery, count_query
+
+        # encode events.value (f64) into a term field and range-count
+        src = "/root/testdata/sf0.001/events.parquet"
+        ds = rd.read_parquet(src, columns=["event_id", "value"])
+        enc = ds.map_batches(EncodeNumericStage("value", kind="f64"),
+                             batch_format="pyarrow")
+        out = str(tmp_path / "events_enc.parquet")
+        pa_tbl = pa.Table.from_pandas(enc.to_pandas(), preserve_index=False)
+        pa_tbl = pa_tbl.sort_by("event_id").append_column(
+            "dummy_text", pa.array([""] * len(pa_tbl)))
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa_tbl, out)
+        idx = str(tmp_path / "ix")
+        build_index(out, idx, text_col="dummy_text", id_col="event_id",
+                    docs_per_segment=400,
+                    extra_text_fields={"value_enc": "raw"})
+        from tantivy_ray.search import IndexSearcher
+
+        s = IndexSearcher(idx)
+        q = NumericRangeQuery("value_enc", 5.0, 20.0, kind="f64")
+        got = count_query(s.readers, q, s.total_num_docs,
+                          s.average_fieldnorm, s.doc_freq)
+        import pyarrow.parquet as pq2
+
+        vals = pq2.read_table(src, columns=["value"]).column("value").to_numpy()
+        assert got == int(((vals >= 5.0) & (vals < 20.0)).sum())
+        # inclusive upper
+        q2 = NumericRangeQuery("value_enc", 5.0, 20.0, kind="f64",
+                               include_upper=True)
+        got2 = count_query(s.readers, q2, s.total_num_docs,
+                           s.average_fieldnorm, s.doc_freq)
+        assert got2 == int(((vals >= 5.0) & (vals <= 20.0)).sum())
