@@ -72,11 +72,21 @@ class RemoveLongFilter:
 class StopWordFilter:
     def __init__(self, words: Optional[Sequence[str]] = None, language: str = "english"):
         if words is None:
-            if language != "english":
-                raise ValueError(
-                    f"no built-in stop list for {language!r}; pass words="
-                )
-            words = ENGLISH_STOP_WORDS
+            if language in ("english", "en"):
+                words = ENGLISH_STOP_WORDS
+            else:
+                # small built-in lists for de/fr/es/ru (functions.text);
+                # the reference ships per-language lists behind a feature
+                # flag (src/tokenizer/stop_word_filter/)
+                from ..functions.text import LANG_STOPWORDS
+
+                code = {"german": "de", "french": "fr", "spanish": "es",
+                        "russian": "ru"}.get(language, language)
+                if code not in LANG_STOPWORDS:
+                    raise ValueError(
+                        f"no built-in stop list for {language!r}; pass words="
+                    )
+                words = LANG_STOPWORDS[code]
         self.words = frozenset(words)
 
     def apply(self, tokens: List[Token]) -> List[Token]:
