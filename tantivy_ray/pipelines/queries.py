@@ -192,6 +192,45 @@ def q_topk_bm25(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def q_topk_bm25_wand(sf_dir: str) -> pa.Table:
+    """Same result as topk_bm25 but through block-max WAND — the pruning
+    scale path proven rank-identical at the correctness gate."""
+    from .search_pipeline import search_pipeline
+    from ..search import IndexSearcher
+
+    idx = build_docs_index(sf_dir)
+    tbl = search_pipeline(idx, DOC_QUERIES, num_shards=1, concurrency=2,
+                          use_wand=True)
+    s = IndexSearcher(idx)
+    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
+              for r in s.readers}
+    pdf = tbl.to_pandas()
+    pdf["doc_id"] = [int(key_of[seg][doc])
+                     for seg, doc in zip(pdf.segment_ord, pdf.doc_id)]
+    pdf = pdf[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    pdf = pdf.astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def q_topk_bm25_sharded(sf_dir: str) -> pa.Table:
+    """Same result through the sharded scatter-gather topology (3 shards,
+    global stats broadcast) — distribution-invariance at the gate."""
+    from .search_pipeline import search_pipeline
+    from ..search import IndexSearcher
+
+    idx = build_docs_index(sf_dir)
+    tbl = search_pipeline(idx, DOC_QUERIES, num_shards=3, concurrency=1)
+    s = IndexSearcher(idx)
+    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
+              for r in s.readers}
+    pdf = tbl.to_pandas()
+    pdf["doc_id"] = [int(key_of[seg][doc])
+                     for seg, doc in zip(pdf.segment_ord, pdf.doc_id)]
+    pdf = pdf[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    pdf = pdf.astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def _sql_topk_bm25() -> str:
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _, _ in DOC_QUERIES for t in terms
@@ -505,6 +544,8 @@ QUERIES: Dict = {
     "corpus_stats": q_corpus_stats,
     "top_terms": q_top_terms,
     "topk_bm25": q_topk_bm25,
+    "topk_bm25_wand": q_topk_bm25_wand,
+    "topk_bm25_sharded": q_topk_bm25_sharded,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
     "quality": q_quality,
@@ -522,6 +563,8 @@ ORACLE_SQL: Dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "top_terms": SQL_TOP_TERMS,
     "topk_bm25": _sql_topk_bm25(),
+    "topk_bm25_wand": _sql_topk_bm25(),
+    "topk_bm25_sharded": _sql_topk_bm25(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "fingerprint": SQL_FINGERPRINT,
     "quality": SQL_QUALITY,

@@ -139,16 +139,20 @@ def block_max_wand_topk(
             break
 
         theta = top.threshold()
-        # union upper bound over the window: pending-score maxima +
-        # bounds of blocks overlapping the window
+        # union upper bound over the window: per term, the max of its
+        # pending-score maximum AND its overlapping block's bound — a doc
+        # in the window may sit in EITHER region, so either alone
+        # underestimates and would prune wrongly
         ub = np.float32(0.0)
         for t in range(nt):
+            contrib = np.float32(0.0)
             if len(pend_docs[t]) and int(pend_docs[t][0]) <= window_end:
-                ub = np.float32(ub + pend_scores[t].max())
-            elif cur[t] < n_blocks[t]:
+                contrib = np.float32(pend_scores[t].max())
+            if cur[t] < n_blocks[t]:
                 start_lb = int(last_docs[t][cur[t] - 1]) + 1 if cur[t] > 0 else 0
                 if start_lb <= window_end:
-                    ub = np.float32(ub + bounds[t][cur[t]])
+                    contrib = max(contrib, np.float32(bounds[t][cur[t]]))
+            ub = np.float32(ub + contrib)
 
         if float(ub) <= theta and theta != float("-inf"):
             # Skip the window without decoding: drop pending postings in

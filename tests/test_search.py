@@ -166,7 +166,10 @@ class TestWandProperty:
         corpus = []
         for _ in range(n_segments):
             seg = []
-            for _ in range(rs.randint(5, 120)):
+            # up to ~600 docs/segment: head-term posting lists span several
+            # 128-doc blocks, covering pending+block window interleavings
+            # (a wrongful-prune bug hid below one block per term)
+            for _ in range(rs.randint(5, 600)):
                 ln = rs.randint(1, 60)
                 seg.append(" ".join(rs.choice(vocab, size=ln, p=zipf_p)))
             corpus.append(seg)
