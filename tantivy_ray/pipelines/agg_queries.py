@@ -184,7 +184,36 @@ SQL_DISTINCT_USERS = (
 )
 
 
+def q_agg_cardinality_users(sf_dir: str) -> pa.Table:
+    """HLL cardinality estimate (rows-only: approx != exact SQL; the
+    deterministic sketch makes the output stable across runs — the exact
+    twin is `distinct_users`)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    res = run_aggregations(ds, {
+        "c": {"cardinality": {"field": "user_id"}}
+    })
+    return pa.table({"n_users_approx": pa.array([int(res["c"]["value"])],
+                                                type=pa.int64())})
+
+
+def q_agg_percentiles_value(sf_dir: str) -> pa.Table:
+    """DDSketch-style percentiles of events.value (rows-only: the sketch
+    is approximate but deterministic)."""
+    ds = _read(sf_dir, "events", ["value"])
+    res = run_aggregations(ds, {
+        "p": {"percentiles": {"field": "value", "percents": [25, 50, 95]}}
+    })
+    v = res["p"]["values"]
+    return pa.table({
+        "p25": pa.array([round(v["25"], 4)], type=pa.float64()),
+        "p50": pa.array([round(v["50"], 4)], type=pa.float64()),
+        "p95": pa.array([round(v["95"], 4)], type=pa.float64()),
+    })
+
+
 AGG_QUERIES: Dict = {
+    "agg_cardinality_users": q_agg_cardinality_users,
+    "agg_percentiles_value": q_agg_percentiles_value,
     "agg_stats_by_returnflag": q_agg_stats_by_returnflag,
     "agg_histogram_orders": q_agg_histogram_orders,
     "agg_date_histogram_events": q_agg_date_histogram_events,
