@@ -173,8 +173,47 @@ class HyperLogLog:
 # ---------------------------------------------------------------------------
 
 _METRICS = {"avg", "min", "max", "sum", "value_count", "stats",
-            "extended_stats", "percentiles", "cardinality"}
+            "extended_stats", "percentiles", "cardinality", "top_hits"}
 _BUCKETS = {"terms", "histogram", "date_histogram", "range", "filter"}
+
+
+def _top_hits_partial(spec: Dict, batch: Dict, sel: np.ndarray):
+    """top_hits (reference metric/top_hits.rs:117): keep the k best rows
+    by sort field; partial = a plain top-k list, merged by re-ranking."""
+    sort_field = spec["sort_field"]
+    size = spec.get("size", 3)
+    desc = spec.get("descending", True)
+    fields = list(spec.get("fields", [sort_field]))
+    tie = spec.get("tie_field")
+    if tie and tie not in fields:
+        fields.append(tie)
+    docv = {f: np.asarray(batch[f])[sel] for f in fields}
+    keys = np.asarray(batch[sort_field], dtype=np.float64)[sel]
+    if len(keys) == 0:
+        return ("tophits", [])
+    if tie:
+        tiev = np.asarray(batch[tie])[sel]
+        order = np.lexsort((tiev, -keys if desc else keys))[:size]
+    else:
+        order = np.argsort(-keys if desc else keys, kind="stable")[:size]
+    rows = [
+        {f: (v[i].item() if hasattr(v[i], "item") else v[i])
+         for f, v in docv.items()} | {"_key": float(keys[i])}
+        for i in order
+    ]
+    return ("tophits", rows)
+
+
+def _top_hits_merge(spec: Dict, a, b):
+    size = spec.get("size", 3)
+    desc = spec.get("descending", True)
+    rows = a[1] + b[1]
+    tie = spec.get("tie_field")
+    if tie:
+        rows.sort(key=lambda r: ((-r["_key"] if desc else r["_key"]), r[tie]))
+    else:
+        rows.sort(key=lambda r: r["_key"], reverse=desc)
+    return ("tophits", rows[:size])
 
 
 def _metric_partial(kind: str, spec: Dict, values: np.ndarray):
@@ -194,7 +233,9 @@ def _metric_partial(kind: str, spec: Dict, values: np.ndarray):
             float((v * v).sum()))
 
 
-def _metric_merge(kind: str, a, b):
+def _metric_merge(kind: str, a, b, spec=None):
+    if kind == "top_hits":
+        return _top_hits_merge(spec or {}, a, b)
     if kind == "cardinality":
         h = HyperLogLog.from_state(a)
         h.merge(HyperLogLog.from_state(b))
@@ -208,6 +249,9 @@ def _metric_merge(kind: str, a, b):
 
 
 def _metric_final(kind: str, spec: Dict, st):
+    if kind == "top_hits":
+        hits = [{k: v for k, v in r.items() if k != "_key"} for r in st[1]]
+        return {"hits": hits}
     if kind == "cardinality":
         return {"value": round(HyperLogLog.from_state(st).estimate())}
     if kind == "percentiles":
@@ -249,6 +293,9 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
         kind = next(k for k in spec if k in _METRICS | _BUCKETS)
         body = spec[kind]
         subs = spec.get("aggs", {})
+        if kind == "top_hits":
+            out[name] = ("m", kind, _top_hits_partial(body, batch, sel))
+            continue
         if kind in _METRICS:
             out[name] = ("m", kind,
                          _metric_partial(kind, body, batch[body["field"]][sel]))
@@ -317,7 +364,8 @@ def merge_partials(aggs: Dict[str, Dict], a: Dict, b: Dict) -> Dict:
             out[name] = pa_
             continue
         if pa_[0] == "m":
-            out[name] = ("m", kind, _metric_merge(kind, pa_[2], pb[2]))
+            out[name] = ("m", kind,
+                         _metric_merge(kind, pa_[2], pb[2], spec.get(kind)))
         elif pa_[0] == "f":
             out[name] = ("f", pa_[1] + pb[1],
                          merge_partials(subs, pa_[2], pb[2]))

@@ -211,7 +211,42 @@ def q_agg_percentiles_value(sf_dir: str) -> pa.Table:
     })
 
 
+def q_agg_top_hits(sf_dir: str) -> pa.Table:
+    """top_hits metric: top-2 events by value per event_type (deterministic
+    event_id tie-break) — oracle via ROW_NUMBER."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "event_id"])
+    res = run_aggregations(ds, {
+        "t": {"terms": {"field": "event_type", "size": 20},
+              "aggs": {"h": {"top_hits": {"sort_field": "value", "size": 2,
+                                          "fields": ["event_id", "value"],
+                                          "tie_field": "event_id"}}}}
+    })
+    rows = []
+    for b in res["t"]["buckets"]:
+        for rank, h in enumerate(b["h"]["hits"]):
+            rows.append((b["key"], rank, int(h["event_id"]),
+                         round(float(h["value"]), 6)))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
+SQL_AGG_TOP_HITS = """
+SELECT event_type, rank, event_id, round(value, 6) AS value FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) - 1 AS rank
+  FROM events)
+WHERE rank < 2
+"""
+
+
 AGG_QUERIES: Dict = {
+    "agg_top_hits": q_agg_top_hits,
     "agg_cardinality_users": q_agg_cardinality_users,
     "agg_percentiles_value": q_agg_percentiles_value,
     "agg_stats_by_returnflag": q_agg_stats_by_returnflag,
@@ -223,6 +258,7 @@ AGG_QUERIES: Dict = {
 }
 
 AGG_ORACLE_SQL: Dict[str, str] = {
+    "agg_top_hits": SQL_AGG_TOP_HITS,
     "agg_stats_by_returnflag": SQL_AGG_STATS_BY_RETURNFLAG,
     "agg_histogram_orders": SQL_AGG_HISTOGRAM_ORDERS,
     "agg_date_histogram_events": SQL_AGG_DATE_HISTOGRAM_EVENTS,
