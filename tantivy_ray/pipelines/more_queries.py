@@ -490,7 +490,85 @@ GROUP BY b.bucket
 """
 
 
+def q_fuzzy_match_count(sf_dir: str) -> pa.Table:
+    """FuzzyTermQuery at the gate: docs matching 'tabel'~1 / 'window'~1
+    (transposition=False to mirror SQL levenshtein())."""
+    from ..search import IndexSearcher
+    from ..search.query import FuzzyTermQuery, count_query
+
+    s = IndexSearcher(build_docs_index(sf_dir))
+    rows = []
+    for probe in ("tabel", "window", "qqqq"):
+        q = FuzzyTermQuery(probe, distance=1, transposition=False)
+        rows.append((probe, count_query(
+            s.readers, q, s.total_num_docs, s.average_fieldnorm, s.doc_freq)))
+    return pa.table({
+        "probe": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_matching": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+SQL_FUZZY_MATCH_COUNT = f"""
+WITH {TOK_CTE},
+probes(probe) AS (VALUES ('tabel'), ('window'), ('qqqq'))
+SELECT p.probe, count(DISTINCT t.doc_id) AS n_matching
+FROM probes p LEFT JOIN tok t ON levenshtein(t.term, p.probe) <= 1
+GROUP BY p.probe
+"""
+
+
+def q_regex_match_count(sf_dir: str) -> pa.Table:
+    """RegexQuery at the gate: docs containing a term matching each regex."""
+    from ..search import IndexSearcher
+    from ..search.query import RegexQuery, count_query
+
+    s = IndexSearcher(build_docs_index(sf_dir))
+    rows = []
+    for pat in ("s.an", "w.+dow", "zzz+"):
+        q = RegexQuery(pat)
+        rows.append((pat, count_query(
+            s.readers, q, s.total_num_docs, s.average_fieldnorm, s.doc_freq)))
+    return pa.table({
+        "pattern": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_matching": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+SQL_REGEX_MATCH_COUNT = f"""
+WITH {TOK_CTE},
+pats(pattern) AS (VALUES ('s.an'), ('w.+dow'), ('zzz+'))
+SELECT p.pattern, count(DISTINCT t.doc_id) AS n_matching
+FROM pats p LEFT JOIN tok t ON regexp_full_match(t.term, p.pattern)
+GROUP BY p.pattern
+"""
+
+
+def q_stemmed_doc_freqs(sf_dir: str) -> pa.Table:
+    """Rows-only: doc_freq per en_stem term (Snowball English not
+    SQL-expressible; output deterministic)."""
+    import hashlib as _hashlib
+
+    from ..index.build import build_index
+    from ..search import IndexSearcher
+
+    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp/tantivy_ray_cache", f"stem_ix_{tag}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(os.path.join(sf_dir, "documents.parquet"), idx,
+                    text_col="text", id_col="doc_id", analyzer="en_stem",
+                    docs_per_segment=50_000)
+    s = IndexSearcher(idx)
+    rows = sorted((t, s.doc_freq(t)) for r in s.readers for t in r.terms())
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], type=pa.string()),
+        "doc_freq": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 MORE_QUERIES: Dict = {
+    "fuzzy_match_count": q_fuzzy_match_count,
+    "regex_match_count": q_regex_match_count,
+    "stemmed_doc_freqs": q_stemmed_doc_freqs,
     "numeric_range_count": q_numeric_range_count,
     "field_scoped_counts": q_field_scoped_counts,
     "json_term_df": q_json_term_df,
@@ -512,5 +590,7 @@ MORE_ORACLE_SQL: Dict[str, str] = {
     "json_term_df": SQL_JSON_TERM_DF,
     "field_scoped_counts": SQL_FIELD_SCOPED_COUNTS,
     "numeric_range_count": SQL_NUMERIC_RANGE_COUNT,
+    "fuzzy_match_count": SQL_FUZZY_MATCH_COUNT,
+    "regex_match_count": SQL_REGEX_MATCH_COUNT,
     # snippets / more_like_this: rows-only
 }
