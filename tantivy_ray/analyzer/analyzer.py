@@ -206,7 +206,6 @@ def analyze_batch(
 
     row_counts_all = np.diff(offsets)
 
-    pos_filtered = None
     if with_positions:
         # ordinal among nonempty values, per row, before drop-filters
         prefix = np.zeros(len(vals) + 1, dtype=np.int64)

@@ -30,7 +30,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..analyzer import analyze_batch, get_analyzer
+from ..analyzer import get_analyzer
 from ..bm25 import Bm25Weight
 from ..index.manifest import IndexManifest, load_manifest
 from ..index.segment import SegmentReader, segment_dir_name
