@@ -389,9 +389,16 @@ class SegmentReader:
         return len(self._terms_arr)
 
     def terms(self) -> List[str]:
+        # memoized: large-vocab materialization happens at most once per
+        # reader (full-vocab APIs only; query expansion uses term_array())
         if self._terms is None:
-            return self._terms_arr.to_pylist()
+            self._terms = self._terms_arr.to_pylist()
         return self._terms
+
+    def term_array(self) -> pa.Array:
+        """Sorted Arrow term array — the implicit-trie view used by
+        automaton intersection (search/automaton.py); zero-copy."""
+        return self._terms_arr
 
     def postings_reader(self, term: str) -> Optional[TermPostingsReader]:
         o = self.term_ord(term)

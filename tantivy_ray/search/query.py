@@ -218,21 +218,36 @@ def _levenshtein_leq(a: str, b: str, k: int, transposition: bool) -> bool:
 
 
 def expand_fuzzy(reader: SegmentReader, q: FuzzyTermQuery) -> List[str]:
-    out = []
-    for t in reader.terms():
-        if q.prefix:
-            # prefix fuzzy: distance computed on the prefix of t
-            cand = t[: len(q.term) + q.distance]
-            if _levenshtein_leq(q.term, cand, q.distance, q.transposition):
-                out.append(t)
-        elif _levenshtein_leq(q.term, t, q.distance, q.transposition):
-            out.append(t)
-    return out
+    """Levenshtein-automaton x sorted-term-dict intersection (reference
+    src/query/fuzzy_query.rs:1-123: Levenshtein DFA intersected with the
+    FST).  Probes O(live-trie-nodes x log V) dict entries, not O(V);
+    prefix=True matches terms ANY prefix of which is within distance
+    (FuzzyTermQuery::new_prefix semantics)."""
+    from .automaton import LevenshteinAutomaton, intersect_sorted_terms
+
+    aut = LevenshteinAutomaton(q.term, q.distance,
+                               transposition=q.transposition,
+                               prefix=q.prefix)
+    arr = reader.term_array()
+    return [arr[i].as_py() for i in intersect_sorted_terms(arr, aut)]
 
 
 def expand_regex(reader: SegmentReader, pattern: str) -> List[str]:
-    rx = re.compile(pattern)
-    return [t for t in reader.terms() if rx.fullmatch(t)]
+    """Regex-automaton x sorted-term-dict intersection (reference
+    src/query/regex_query.rs:57 intersects a tantivy-fst regex automaton
+    with the term dict).  Patterns outside the compiled subset
+    (backrefs, lookaround, class escapes) fall back to a full-vocab scan
+    with python `re` — the semantics source of truth."""
+    from .automaton import (RegexAutomaton, UnsupportedRegex,
+                            intersect_sorted_terms)
+
+    try:
+        aut = RegexAutomaton(pattern)
+    except UnsupportedRegex:
+        rx = re.compile(pattern)
+        return [t for t in reader.terms() if rx.fullmatch(t)]
+    arr = reader.term_array()
+    return [arr[i].as_py() for i in intersect_sorted_terms(arr, aut)]
 
 
 def expand_range(reader: SegmentReader, q: RangeQuery) -> List[str]:
@@ -512,10 +527,10 @@ class QueryEvaluator:
             return docs, w.score(ffids[docs], tfs)
 
         if isinstance(q, (PhrasePrefixQuery, RegexPhraseQuery)):
-            sorted_terms = self.reader.terms()
             if isinstance(q, PhrasePrefixQuery):
                 import bisect
 
+                sorted_terms = self.reader.terms()
                 prefix = q.terms[-1]
                 lo = bisect.bisect_left(sorted_terms, prefix)
                 exp = []
@@ -533,8 +548,7 @@ class QueryEvaluator:
                     if re.escape(pat) == pat:  # plain literal
                         term_sets.append([pat])
                     else:
-                        rx = re.compile(pat)
-                        m = [t for t in sorted_terms if rx.fullmatch(t)]
+                        m = expand_regex(self.reader, pat)
                         term_sets.append(m[: q.max_expansions])
                 slop = q.slop
                 weight_terms = [s[0] for s in term_sets if s]
