@@ -177,9 +177,30 @@ _METRICS = {"avg", "min", "max", "sum", "value_count", "stats",
 _BUCKETS = {"terms", "histogram", "date_histogram", "range", "filter"}
 
 
+def _top_hits_sort_key(spec: Dict):
+    """Deterministic TOTAL order for top_hits rows: sort key, then the
+    explicit tie_field when given, then the full row content — so the
+    result is independent of partial/merge order even when sort values
+    tie (repo determinism invariant)."""
+    desc = spec.get("descending", True)
+    tie = spec.get("tie_field")
+
+    def key(r: Dict):
+        primary = -r["_key"] if desc else r["_key"]
+        content = tuple(
+            (f, str(r[f])) for f in sorted(r) if f != "_key")
+        if tie:
+            return (primary, str(r[tie]), content)
+        return (primary, content)
+
+    return key
+
+
 def _top_hits_partial(spec: Dict, batch: Dict, sel: np.ndarray):
     """top_hits (reference metric/top_hits.rs:117): keep the k best rows
-    by sort field; partial = a plain top-k list, merged by re-ranking."""
+    by sort field; partial = a plain top-k list, merged by re-ranking.
+    Partial and merge cut under the same total order (_top_hits_sort_key)
+    so results are merge-order independent."""
     sort_field = spec["sort_field"]
     size = spec.get("size", 3)
     desc = spec.get("descending", True)
@@ -191,28 +212,28 @@ def _top_hits_partial(spec: Dict, batch: Dict, sel: np.ndarray):
     keys = np.asarray(batch[sort_field], dtype=np.float64)[sel]
     if len(keys) == 0:
         return ("tophits", [])
-    if tie:
-        tiev = np.asarray(batch[tie])[sel]
-        order = np.lexsort((tiev, -keys if desc else keys))[:size]
+    # vectorized pre-cut: keep everything tying with the size-th key so
+    # the python total-order sort below sees all potential winners
+    if len(keys) > size:
+        srt = np.sort(keys)
+        kth = srt[len(keys) - size] if desc else srt[size - 1]
+        keep = keys >= kth if desc else keys <= kth
     else:
-        order = np.argsort(-keys if desc else keys, kind="stable")[:size]
+        keep = np.ones(len(keys), dtype=bool)
+    idx = np.flatnonzero(keep)
     rows = [
         {f: (v[i].item() if hasattr(v[i], "item") else v[i])
          for f, v in docv.items()} | {"_key": float(keys[i])}
-        for i in order
+        for i in idx
     ]
-    return ("tophits", rows)
+    rows.sort(key=_top_hits_sort_key(spec))
+    return ("tophits", rows[:size])
 
 
 def _top_hits_merge(spec: Dict, a, b):
     size = spec.get("size", 3)
-    desc = spec.get("descending", True)
     rows = a[1] + b[1]
-    tie = spec.get("tie_field")
-    if tie:
-        rows.sort(key=lambda r: ((-r["_key"] if desc else r["_key"]), r[tie]))
-    else:
-        rows.sort(key=lambda r: r["_key"], reverse=desc)
+    rows.sort(key=_top_hits_sort_key(spec))
     return ("tophits", rows[:size])
 
 
@@ -308,40 +329,51 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
             continue
         # bucket aggs: compute bucket key per row
         col = batch[body["field"]]
-        if kind == "terms":
-            keys = col[sel]
+        if kind in ("terms", "histogram", "date_histogram"):
+            if kind == "terms":
+                keyed = col
+            else:
+                interval = body.get("interval") or body.get("fixed_interval")
+                off = body.get("offset", 0)
+                vals = col.astype(np.float64)
+                keyed = np.floor((vals - off) / interval) * interval + off
+            # one pass: unique keys + inverse codes + bincount doc counts
+            # (the round-1 per-key boolean mask was O(uniques x rows))
+            sel_idx = np.flatnonzero(sel)
+            uniq, inv = np.unique(keyed[sel_idx], return_inverse=True)
+            counts = np.bincount(inv, minlength=len(uniq))
             buckets: Dict[Any, Dict] = {}
-            for key in np.unique(keys):
-                m2 = sel & (col == key)
-                buckets[key if not isinstance(key, np.generic) else key.item()] = {
-                    "doc_count": int(m2.sum()),
-                    "sub": compute_partial(subs, batch, m2),
-                }
-            out[name] = ("b", kind, buckets)
-            continue
-        if kind in ("histogram", "date_histogram"):
-            interval = body.get("interval") or body.get("fixed_interval")
-            off = body.get("offset", 0)
-            vals = col.astype(np.float64)
-            bk = np.floor((vals - off) / interval) * interval + off
-            buckets = {}
-            for key in np.unique(bk[sel]):
-                m2 = sel & (bk == key)
-                buckets[float(key)] = {
-                    "doc_count": int(m2.sum()),
-                    "sub": compute_partial(subs, batch, m2),
-                }
+            if subs:
+                # sub-agg routing via sorted-group offsets (one stable
+                # argsort, per-bucket index slices)
+                order = np.argsort(inv, kind="stable")
+                offsets = np.concatenate(
+                    ([0], np.cumsum(counts.astype(np.int64))))
+            for u_i, key in enumerate(uniq):
+                k = key.item() if isinstance(key, np.generic) else key
+                if kind != "terms":
+                    k = float(key)
+                if subs:
+                    m2 = np.zeros(len(sel), dtype=bool)
+                    m2[sel_idx[order[offsets[u_i]:offsets[u_i + 1]]]] = True
+                    sub = compute_partial(subs, batch, m2)
+                else:
+                    sub = {}
+                buckets[k] = {"doc_count": int(counts[u_i]), "sub": sub}
             out[name] = ("b", kind, buckets)
             continue
         if kind == "range":
             vals = col.astype(np.float64)
             buckets = {}
-            for r in body["ranges"]:
+            # key carries the request-order range index so finalize can
+            # emit buckets in the requested order (ES/reference behavior),
+            # not label-lexicographic order
+            for ri, r in enumerate(body["ranges"]):
                 lo = r.get("from", -math.inf)
                 hi = r.get("to", math.inf)
                 m2 = sel & (vals >= lo) & (vals < hi)
                 label = f"{r.get('from', '*')}-{r.get('to', '*')}"
-                buckets[label] = {
+                buckets[(ri, label)] = {
                     "doc_count": int(m2.sum()),
                     "sub": compute_partial(subs, batch, m2),
                 }
@@ -406,10 +438,15 @@ def finalize(aggs: Dict[str, Dict], partial: Dict) -> Dict:
                 # ES order: doc_count desc, key asc
                 items.sort(key=lambda kv: (-kv[1]["doc_count"], str(kv[0])))
                 items = items[:size]
+            elif kind == "range":
+                # keys are (request_index, label): requested order
+                items.sort(key=lambda kv: kv[0][0])
             else:
-                items.sort(key=lambda kv: kv[0] if not isinstance(kv[0], str) else kv[0])
+                items.sort(key=lambda kv: kv[0])
             buckets = []
             for key, b in items:
+                if kind == "range":
+                    key = key[1]
                 row = {"key": key, "doc_count": b["doc_count"]}
                 row.update(finalize(subs, b["sub"]))
                 buckets.append(row)

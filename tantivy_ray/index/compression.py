@@ -72,11 +72,15 @@ def encode_term_postings(
     tfs: np.ndarray,
     fieldnorm_ids: np.ndarray,
     local_tf_cache: np.ndarray,
+    fids_per_posting: bool = False,
 ) -> bytes:
     """Encode one term's posting list.
 
     docs: strictly increasing uint32 doc ids; tfs: uint32 term freqs;
-    fieldnorm_ids: uint8 per-doc fieldnorm ids (indexed by doc id);
+    fieldnorm_ids: uint8 fieldnorm ids — indexed by doc id by default, or
+    aligned 1:1 with ``docs`` when ``fids_per_posting=True`` (the merge
+    path carries posting-aligned fids; a doc-indexed array there would be
+    an O(global-corpus) allocation per term group);
     local_tf_cache: 256-entry f32 cache built from the SEGMENT-LOCAL average
     fieldnorm (reference serializer.rs:120-135) used only to select the
     block-max (fieldnorm_id, tf) pair.
@@ -90,7 +94,10 @@ def encode_term_postings(
     deltas[0] = docs[0] + 1  # delta from virtual previous doc -1
     np.subtract(docs[1:], docs[:-1], out=deltas[1:])
 
-    fids = fieldnorm_ids[docs]
+    if fids_per_posting:
+        fids = np.ascontiguousarray(fieldnorm_ids, dtype=np.uint8)
+    else:
+        fids = fieldnorm_ids[docs]
     tf_factor = tfs.astype(np.float32) / (
         tfs.astype(np.float32) + local_tf_cache[fids]
     )

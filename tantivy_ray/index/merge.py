@@ -127,11 +127,10 @@ def _merge_group(g: pd.DataFrame, avg_fieldnorm: float) -> pd.DataFrame:
     # ranges are disjoint and each sorted → concat in first_doc order is sorted
     assert (np.diff(docs) > 0).all(), "overlapping salted fragments"
     cache = compute_tf_cache(np.float32(avg_fieldnorm))
-    # encode_term_postings indexes fieldnorms by doc id: remap to dense
-    dense_fids = np.zeros(int(docs.max()) + 1, dtype=np.uint8) if len(docs) else np.zeros(1, np.uint8)
-    dense_fids[docs] = fids
+    # fids are already posting-aligned; a doc-indexed dense array here
+    # would be an O(global-corpus-size) allocation per term group
     blob = encode_term_postings(
-        docs.astype(np.uint32), tfs, dense_fids, cache
+        docs.astype(np.uint32), tfs, fids, cache, fids_per_posting=True
     )
     term = g["term"].iloc[0]
     return pd.DataFrame({

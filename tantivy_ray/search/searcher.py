@@ -131,6 +131,10 @@ class IndexSearcher:
             if segment_ords is None
             else list(segment_ords)
         )
+        # ascending ords are a structural invariant: _search_global's
+        # tie-break (global doc order == DocAddress order) and the
+        # per-segment merge_topk path must agree on segment order
+        ords.sort()
         self.readers = [
             SegmentReader(os.path.join(index_dir, segment_dir_name(o)))
             for o in ords

@@ -20,7 +20,9 @@ layer O(#blocks), not O(#docs).
 
 f32 identity with the exhaustive scorer: per-doc sums add term
 contributions in query-term order via a stable (doc, term_idx) sort +
-float32 ``np.add.reduceat`` (sequential in-order f32 accumulation).
+sequential in-place float32 adds per term (``acc[idx] += contrib``).
+Deliberately NOT ``np.add.reduceat``: reduceat accumulates in extended
+precision and breaks the bit-exact f32 invariant by 1 ulp.
 
 Property-tested against the exhaustive scorer on random corpora, the same
 strategy as the reference's proptest (block_wand_union.rs:293-619).

@@ -119,6 +119,55 @@ class TestBuckets:
         cmask = self.data["cat"] == "c"
         assert res["f"]["m"]["value"] == pytest.approx(self.data["v"][cmask].max())
 
+    def test_range_request_order(self):
+        # ES/reference preserve the request's range-definition order,
+        # not label-lexicographic order ({from:5} before {from:10})
+        aggs = {"r": {"range": {"field": "v",
+                                "ranges": [{"to": 5}, {"from": 5, "to": 10},
+                                           {"from": 10, "to": 90},
+                                           {"from": 90}]}}}
+        res = run_local(aggs, split_batches(self.data, 3))["r"]["buckets"]
+        assert [b["key"] for b in res] == ["*-5", "5-10", "10-90", "90-*"]
+        assert sum(b["doc_count"] for b in res) == 1000
+
+    def test_top_hits_merge_order_independent_on_ties(self):
+        # equal sort keys: result must not depend on partial/merge order
+        data = {
+            "score": np.array([5.0, 5.0, 5.0, 5.0, 1.0, 5.0]),
+            "name": np.array(["e", "c", "a", "d", "z", "b"]),
+        }
+        aggs = {"t": {"top_hits": {"sort_field": "score", "size": 3,
+                                   "fields": ["name"]}}}
+        results = []
+        for n_parts in (1, 2, 3, 6):
+            res = run_local(aggs, split_batches(data, n_parts))
+            results.append([r["name"] for r in res["t"]["hits"]])
+        assert all(r == results[0] for r in results), results
+        # reversed merge order must agree too
+        batches = split_batches(data, 3)
+        from tantivy_ray.aggregations import (compute_partial, finalize,
+                                              merge_partials)
+        parts = [compute_partial(aggs, b) for b in batches]
+        fwd = parts[0]
+        for p in parts[1:]:
+            fwd = merge_partials(aggs, fwd, p)
+        rev = parts[-1]
+        for p in reversed(parts[:-1]):
+            rev = merge_partials(aggs, rev, p)
+        assert finalize(aggs, fwd) == finalize(aggs, rev) == {
+            "t": {"hits": [{"name": n} for n in results[0]]}}
+
+    def test_terms_many_uniques_matches_bincount(self):
+        # unique+bincount partial: counts identical to a naive groupby
+        rs = np.random.RandomState(3)
+        cat = rs.randint(0, 500, size=5000).astype(str)
+        aggs = {"t": {"terms": {"field": "cat", "size": 500}}}
+        res = run_local(aggs, split_batches({"cat": cat}, 4))["t"]["buckets"]
+        from collections import Counter
+        exp = Counter(cat.tolist())
+        got = {b["key"]: b["doc_count"] for b in res}
+        assert got == dict(exp)
+
 
 class TestSketches:
     def test_hll_merge_equals_union(self):
