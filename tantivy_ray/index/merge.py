@@ -50,7 +50,15 @@ DEFAULT_NUM_BUCKETS = 64
 
 
 class ExplodeSegment:
-    """flat_map stage: one segment → per-(term, salt) posting fragments."""
+    """flat_map stage: one segment → per-(term, salt) posting fragments.
+
+    Fast path (no tombstones, df <= salt_block_docs — the overwhelming
+    majority of a Zipfian vocabulary): the fragment is the term's RAW
+    encoded blob sliced out of postings.bin plus a ``doc_base`` column;
+    no posting is decoded (per-term bounds come from the terms.parquet
+    first_doc/last_doc columns, all salt/group-key math is vectorized).
+    Only head terms (df > salt_block_docs) and tombstoned segments take
+    the decode path, emitting raw global doc/tf/fid arrays."""
 
     def __init__(self, index_dir: str, salt_block_docs: int, num_buckets: int):
         self.index_dir = index_dir
@@ -69,78 +77,256 @@ class ExplodeSegment:
             self._doc_base = bases
         return self._doc_base
 
-    def __call__(self, batch: pd.DataFrame) -> Iterator[pd.DataFrame]:
+    def _decode_rows(self, reader, ords, base: int, rows: Dict) -> None:
+        """Decode-path fragments (head terms / tombstoned segments):
+        raw global doc/tf/fid arrays, chunked to salt_block_docs."""
+        alive = reader.alive_mask
+        arr = reader.term_array()
+        for o in ords:
+            term = arr[int(o)].as_py()
+            docs, tfs = reader.postings(term)
+            if alive is not None and len(docs):
+                keep = alive[docs]
+                docs, tfs = docs[keep], tfs[keep]
+                if len(docs) == 0:
+                    continue
+            fids = reader.fieldnorm_ids[docs]
+            gdocs = docs.astype(np.int64) + base
+            for start in range(0, len(gdocs), self.salt_block_docs):
+                end = min(start + self.salt_block_docs, len(gdocs))
+                chunk = gdocs[start:end]
+                salt = int(chunk[0]) // max(1, self.salt_block_docs)
+                rows["group_key"].append(f"{term}\x00{salt:012d}")
+                rows["term"].append(term)
+                rows["salt"].append(salt)
+                rows["doc_freq"].append(end - start)
+                rows["first_doc"].append(int(chunk[0]))
+                rows["last_doc"].append(int(chunk[-1]))
+                rows["doc_base"].append(0)
+                rows["segment_ord"].append(reader.segment_ord)
+                rows["blob"].append(b"")
+                rows["docs"].append(chunk.astype(np.int64).tobytes())
+                rows["tfs"].append(tfs[start:end].tobytes())
+                rows["fids"].append(fids[start:end].tobytes())
+
+    def __call__(self, batch: pd.DataFrame) -> Iterator[pa.Table]:
         bases = self._doc_bases()
+        batch_tbls: List[pa.Table] = []
         for seg_ord in batch["segment_ord"]:
             seg_ord = int(seg_ord)
             reader = SegmentReader(
                 os.path.join(self.index_dir, segment_dir_name(seg_ord))
             )
             base = bases[seg_ord]
-            rows = {k: [] for k in (
-                "group_key", "term", "salt", "doc_freq",
-                "first_doc", "last_doc", "docs", "tfs", "fids",
+            n_terms = reader.num_terms()
+            has_bounds = reader.term_first_doc is not None
+            no_deletes = reader.alive_mask is None
+            if has_bounds and no_deletes:
+                fast = reader._doc_freq.astype(np.int64) <= self.salt_block_docs
+            else:
+                fast = np.zeros(n_terms, dtype=bool)
+
+            rows: Dict[str, list] = {k: [] for k in (
+                "group_key", "term", "salt", "doc_freq", "first_doc",
+                "last_doc", "doc_base", "segment_ord", "blob",
+                "docs", "tfs", "fids",
             )}
-            alive = reader.alive_mask
-            for term in reader.terms():
-                docs, tfs = reader.postings(term)
-                if alive is not None and len(docs):
-                    keep = alive[docs]
-                    docs, tfs = docs[keep], tfs[keep]
-                    if len(docs) == 0:
-                        continue
-                fids = reader.fieldnorm_ids[docs]
-                gdocs = docs.astype(np.int64) + base
-                # salt = global-doc-range bucket: fragments of the same term
-                # from different segments share a salt iff they fall in the
-                # same doc-range span, so a reducer merges ~span/segment_size
-                # fragments; head terms spread over many salts (bounded
-                # reducer input), tail terms collapse to one group.  Salt
-                # order == global doc order, so concatenation by salt
-                # reconstructs the full list (disjoint ascending ranges).
-                for start in range(0, len(gdocs), self.salt_block_docs):
-                    end = min(start + self.salt_block_docs, len(gdocs))
-                    chunk = gdocs[start:end]
-                    salt = int(chunk[0]) // max(1, self.salt_block_docs)
-                    rows["group_key"].append(f"{term}\x00{salt:012d}")
-                    rows["term"].append(term)
-                    rows["salt"].append(salt)
-                    rows["doc_freq"].append(end - start)
-                    rows["first_doc"].append(int(chunk[0]))
-                    rows["last_doc"].append(int(chunk[-1]))
-                    rows["docs"].append(chunk.astype(np.int64).tobytes())
-                    rows["tfs"].append(tfs[start:end].tobytes())
-                    rows["fids"].append(fids[start:end].tobytes())
-            if rows["term"]:
-                yield pd.DataFrame(rows)
+            # decode path: head terms, or everything when tombstones /
+            # missing bounds force it
+            slow_ords = np.flatnonzero(~fast)
+            if len(slow_ords):
+                self._decode_rows(reader, slow_ords, base, rows)
+            slow_tbl = (pa.Table.from_pydict(
+                rows, schema=_FRAGMENT_SCHEMA) if rows["term"] else None)
+
+            fast_ords = np.flatnonzero(fast)
+            if len(fast_ords):
+                # salt = global-doc-range bucket: fragments of the same
+                # term from different segments share a salt iff they fall
+                # in the same doc-range span (head terms spread over many
+                # salts, bounded reducer input; tail terms collapse to one
+                # group).  Salt order == global doc order, so concatenation
+                # by salt reconstructs the full list (disjoint ascending
+                # ranges).  All vectorized; blob slices are raw bytes.
+                gfirst = reader.term_first_doc[fast_ords] + base
+                glast = reader.term_last_doc[fast_ords] + base
+                salts = gfirst // max(1, self.salt_block_docs)
+                terms = reader.term_array().take(
+                    pa.array(fast_ords, type=pa.int64())).cast(pa.string())
+                salt_str = pa.array(
+                    np.char.zfill(salts.astype("U12"), 12))
+                import pyarrow.compute as pc
+                group_keys = pc.binary_join_element_wise(
+                    terms, salt_str, "\x00")
+                mv = memoryview(reader._postings)
+                offs = reader._off[fast_ords]
+                lens = reader._len[fast_ords]
+                blobs = [bytes(mv[o:o + l]) for o, l in zip(offs, lens)]
+                empty = [b""] * len(fast_ords)
+                fast_tbl = pa.Table.from_arrays([
+                    group_keys,
+                    terms,
+                    pa.array(salts, type=pa.int64()),
+                    pa.array(reader._doc_freq[fast_ords].astype(np.int64)),
+                    pa.array(gfirst, type=pa.int64()),
+                    pa.array(glast, type=pa.int64()),
+                    pa.array(np.full(len(fast_ords), base, dtype=np.int64)),
+                    pa.array(np.full(len(fast_ords), seg_ord,
+                                     dtype=np.int64)),
+                    pa.array(blobs, type=pa.large_binary()),
+                    pa.array(empty, type=pa.large_binary()),
+                    pa.array(empty, type=pa.large_binary()),
+                    pa.array(empty, type=pa.large_binary()),
+                ], schema=_FRAGMENT_SCHEMA)
+            else:
+                fast_tbl = None
+
+            batch_tbls.extend(
+                t for t in (slow_tbl, fast_tbl) if t is not None)
+        if batch_tbls:
+            yield pa.concat_tables(batch_tbls)
 
 
-def _merge_group(g: pd.DataFrame, avg_fieldnorm: float) -> pd.DataFrame:
-    """Reduce one (term, salt) group: stack fragments from all segments in
-    ascending global-doc order and re-encode the packed blob."""
-    g = g.sort_values("first_doc")
-    docs = np.concatenate([
-        np.frombuffer(b, dtype=np.int64) for b in g["docs"]
-    ])
-    tfs = np.concatenate([np.frombuffer(b, dtype=np.uint32) for b in g["tfs"]])
-    fids = np.concatenate([np.frombuffer(b, dtype=np.uint8) for b in g["fids"]])
-    # ranges are disjoint and each sorted → concat in first_doc order is sorted
-    assert (np.diff(docs) > 0).all(), "overlapping salted fragments"
-    cache = compute_tf_cache(np.float32(avg_fieldnorm))
-    # fids are already posting-aligned; a doc-indexed dense array here
-    # would be an O(global-corpus-size) allocation per term group
-    blob = encode_term_postings(
-        docs.astype(np.uint32), tfs, fids, cache, fids_per_posting=True
-    )
-    term = g["term"].iloc[0]
-    return pd.DataFrame({
-        "term": [term],
-        "salt": [int(g["salt"].min())],
-        "doc_freq": [len(docs)],
-        "first_doc": [int(docs[0])],
-        "last_doc": [int(docs[-1])],
-        "postings": [blob],
-    })
+_FRAGMENT_SCHEMA = pa.schema([
+    ("group_key", pa.string()),
+    ("term", pa.string()),
+    ("salt", pa.int64()),
+    ("doc_freq", pa.int64()),
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
+    ("doc_base", pa.int64()),
+    ("segment_ord", pa.int64()),
+    ("blob", pa.large_binary()),
+    ("docs", pa.large_binary()),
+    ("tfs", pa.large_binary()),
+    ("fids", pa.large_binary()),
+])
+
+# per-worker fieldnorm mmap cache for the reducer (keyed by segment dir;
+# np.memmap pages in only the bytes actually gathered)
+_FIELDNORM_CACHE: Dict[str, np.ndarray] = {}
+_FIELDNORM_CACHE_CAP = 128
+
+
+def _fieldnorms_for(index_dir: str, seg_ord: int) -> np.ndarray:
+    key = os.path.join(index_dir, segment_dir_name(seg_ord))
+    hit = _FIELDNORM_CACHE.get(key)
+    if hit is None:
+        hit = np.memmap(os.path.join(key, "fieldnorms.bin"),
+                        dtype=np.uint8, mode="r")
+        if len(_FIELDNORM_CACHE) >= _FIELDNORM_CACHE_CAP:
+            _FIELDNORM_CACHE.pop(next(iter(_FIELDNORM_CACHE)))
+        _FIELDNORM_CACHE[key] = hit
+    return hit
+
+
+_MERGED_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("salt", pa.int64()),
+    ("doc_freq", pa.int64()),
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
+    ("doc_base", pa.int64()),
+    ("postings", pa.large_binary()),
+])
+
+
+def _reduce_fragment_block(tbl: pa.Table, avg_fieldnorm: float,
+                           index_dir: str) -> pa.Table:
+    """Reduce ALL (term, salt) groups in one sorted block, vectorized.
+
+    The input block comes from ``sort("group_key")`` — the same
+    range-partitioned shuffle ray.data's own ``map_groups`` uses, which
+    guarantees a group never straddles blocks.  Single-encoded-fragment
+    groups (the overwhelming tail of a Zipfian vocabulary) are reduced
+    with ONE ``take``: blob and doc_base pass through untouched — no
+    decode, no re-encode, no per-group python.  Multi-fragment groups
+    stack fragments in ascending global-doc order and re-encode
+    (fieldnorms for encoded fragments come from a per-worker mmap of
+    the source segment's fieldnorms.bin)."""
+    n = tbl.num_rows
+    if n == 0:
+        return pa.Table.from_pydict(
+            {f.name: [] for f in _MERGED_SCHEMA}, schema=_MERGED_SCHEMA)
+    keys = np.asarray(tbl.column("group_key").to_pylist(), dtype=object)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    run_len = ends - starts
+    import pyarrow.compute as pc
+    blob_len = pc.binary_length(tbl.column("blob")).to_numpy()
+    single = (run_len == 1) & (blob_len[starts] > 0)
+
+    outs = []
+    fast_idx = starts[single]
+    if len(fast_idx):
+        fast = tbl.take(pa.array(fast_idx, type=pa.int64()))
+        outs.append(pa.Table.from_arrays([
+            fast.column("term").cast(pa.string()),
+            fast.column("salt").cast(pa.int64()),
+            fast.column("doc_freq").cast(pa.int64()),
+            fast.column("first_doc").cast(pa.int64()),
+            fast.column("last_doc").cast(pa.int64()),
+            fast.column("doc_base").cast(pa.int64()),
+            fast.column("blob").cast(pa.large_binary()),
+        ], schema=_MERGED_SCHEMA))
+
+    slow_starts = starts[~single]
+    if len(slow_starts):
+        cache = compute_tf_cache(np.float32(avg_fieldnorm))
+        terms_np = tbl.column("term").to_pylist()
+        salt_np = tbl.column("salt").to_numpy()
+        first_np = tbl.column("first_doc").to_numpy()
+        base_np = tbl.column("doc_base").to_numpy()
+        seg_np = tbl.column("segment_ord").to_numpy()
+        blob_col = tbl.column("blob")
+        docs_col = tbl.column("docs")
+        tfs_col = tbl.column("tfs")
+        fids_col = tbl.column("fids")
+        rows = {f.name: [] for f in _MERGED_SCHEMA}
+        for s, e in zip(slow_starts, ends[~single]):
+            idx = np.arange(s, e)[np.argsort(first_np[s:e], kind="stable")]
+            docs_parts, tf_parts, fid_parts = [], [], []
+            for i in idx:
+                i = int(i)
+                blob = blob_col[i].as_py()
+                if blob:
+                    pr = TermPostingsReader(
+                        np.frombuffer(blob, dtype=np.uint8))
+                    d, tf = pr.decode_all()
+                    fid_parts.append(
+                        _fieldnorms_for(index_dir, int(seg_np[i]))[d])
+                    docs_parts.append(d.astype(np.int64) + int(base_np[i]))
+                    tf_parts.append(tf)
+                else:
+                    docs_parts.append(
+                        np.frombuffer(docs_col[i].as_py(), dtype=np.int64))
+                    tf_parts.append(
+                        np.frombuffer(tfs_col[i].as_py(), dtype=np.uint32))
+                    fid_parts.append(
+                        np.frombuffer(fids_col[i].as_py(), dtype=np.uint8))
+            docs = np.concatenate(docs_parts)
+            tfs = np.concatenate(tf_parts)
+            fids = np.concatenate(fid_parts)
+            # ranges are disjoint and each sorted → concat in first_doc
+            # order is sorted
+            assert (np.diff(docs) > 0).all(), "overlapping salted fragments"
+            # fids are posting-aligned; a doc-indexed dense array here
+            # would be an O(global-corpus-size) allocation per term group
+            blob = encode_term_postings(
+                docs.astype(np.uint32), tfs, fids, cache,
+                fids_per_posting=True)
+            rows["term"].append(terms_np[int(s)])
+            rows["salt"].append(int(salt_np[s:e].min()))
+            rows["doc_freq"].append(len(docs))
+            rows["first_doc"].append(int(docs[0]))
+            rows["last_doc"].append(int(docs[-1]))
+            rows["doc_base"].append(0)
+            rows["postings"].append(blob)
+        outs.append(pa.Table.from_pydict(rows, schema=_MERGED_SCHEMA))
+    return pa.concat_tables(outs)
 
 
 def merge_segments(
@@ -158,64 +344,59 @@ def merge_segments(
     avg = manifest.average_fieldnorm
     os.makedirs(merged_dir, exist_ok=True)
 
-    segs = rd.from_items([
-        {"segment_ord": s["segment_ord"]} for s in manifest.segments
-    ])
+    items = [{"segment_ord": s["segment_ord"]} for s in manifest.segments]
+    # a few segments per task: per-segment explode work is small (mmap +
+    # vectorized slicing), so one task per segment would be pure
+    # per-task/per-block overhead at high segment counts
+    n_blocks = max(1, min(len(items), 32))
+    segs = rd.from_items(items, override_num_blocks=n_blocks)
     fragments = segs.map_batches(
         ExplodeSegment(index_dir, salt_block_docs, num_buckets),
-        batch_size=1,
+        batch_size=None,
         batch_format="pandas",
         **remote_args(),
     )
 
-    # coalesce fragment blocks before the shuffle: the sort exchange's
-    # fixed cost scales with block count, so target ~64 MB blocks (bounded
-    # below so small test indexes don't pay 74-block orchestration)
-    total_bytes = sum(
-        s.get("metrics", {}).get("postings_bytes", 0) for s in manifest.segments
-    )
-    n_shuffle_blocks = int(min(1024, max(8, total_bytes // (64 << 20))))
-    fragments = fragments.repartition(n_shuffle_blocks)
-
-    merged = fragments.groupby("group_key").map_groups(
-        lambda g: _merge_group(g, avg),
-        batch_format="pandas",
+    # sort(group_key) + whole-block map = ray.data map_groups' own
+    # topology, but the block reducer handles all groups vectorized
+    # (single-fragment groups = one take, no per-group python).  The sort
+    # range-partitions by group_key, so each output block is a contiguous
+    # TERM RANGE — written as-is, parquet column statistics (min/max term
+    # per file/row-group) give the same read pruning the old hash-bucket
+    # partitioning did, without the blocks x buckets small-file explosion.
+    merged = fragments.sort("group_key").map_batches(
+        lambda t: _reduce_fragment_block(t, avg, index_dir),
+        batch_size=None,
+        batch_format="pyarrow",
         **remote_args(),
     )
+    parts_dir = os.path.join(merged_dir, "parts")
+    import shutil
 
-    # bucket by term hash for term-partitioned, prunable output files
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
+    shutil.rmtree(parts_dir, ignore_errors=True)
+    merged.write_parquet(parts_dir, row_group_size=4096)
 
-        df = df.copy()
-        df["bucket"] = [
-            zlib.crc32(t.encode()) % num_buckets for t in df["term"]
-        ]
-        return df
-
-    out = merged.map_batches(add_bucket, batch_format="pandas", **remote_args())
-    out.write_parquet(
-        os.path.join(merged_dir, "parts"), partition_cols=["bucket"]
-    )
-
-    # global term stats (tiny groupby over (term, doc_freq) rows)
-    import pyarrow.parquet as pq
-
+    # global term stats: distributed groupby + sorted write (the vocab
+    # never lands on the driver — at web scale it is GBs).  Bounded block
+    # count: sort/groupby fixed cost scales with input block count.
     stats_ds = rd.read_parquet(
-        os.path.join(merged_dir, "parts"), columns=["term", "doc_freq"]
+        parts_dir, columns=["term", "doc_freq"],
+        override_num_blocks=max(4, min(64, len(items) // 8)),
     )
     from ray.data.aggregate import Sum
 
-    stats = stats_ds.groupby("term").aggregate(Sum("doc_freq", alias_name="doc_freq"))
-    stats_tbl = pa.Table.from_pandas(
-        stats.to_pandas().sort_values("term").reset_index(drop=True),
-        preserve_index=False,
-    )
-    pq.write_table(stats_tbl, os.path.join(merged_dir, "term_stats.parquet"))
+    stats = (stats_ds.groupby("term")
+             .aggregate(Sum("doc_freq", alias_name="doc_freq"))
+             .sort("term"))
+    stats_dir = os.path.join(merged_dir, "term_stats")
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    stats.write_parquet(stats_dir)
+    num_terms = sum(
+        f.metadata.num_rows for f in _stats_fragments(stats_dir))
 
     meta = {
         "source_index": index_dir,
-        "num_terms": int(stats_tbl.num_rows),
+        "num_terms": int(num_terms),
         "total_num_docs": manifest.total_num_docs,
         "total_num_tokens": manifest.total_num_tokens,
         "salt_block_docs": salt_block_docs,
@@ -289,6 +470,15 @@ class MergedSearcher:
         ]
 
 
+def _stats_fragments(stats_dir: str):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for p in sorted(glob.glob(os.path.join(stats_dir, "*.parquet"))):
+        yield pq.ParquetFile(p)
+
+
 class MergedIndexReader:
     """Lookup over the merged, term-partitioned postings (bucket pruning:
     only the term's hash bucket is read)."""
@@ -299,39 +489,81 @@ class MergedIndexReader:
         self.merged_dir = merged_dir
         with open(os.path.join(merged_dir, "merged_meta.json")) as f:
             self.meta = json.load(f)
-        self._stats = pq.read_table(
-            os.path.join(merged_dir, "term_stats.parquet")
-        )
-        self._df = dict(zip(
-            self._stats.column("term").to_pylist(),
-            self._stats.column("doc_freq").to_pylist(),
-        ))
+        self._legacy_buckets = os.path.isdir(
+            os.path.join(merged_dir, "parts", "bucket=0"))
+        self._parts_dset = None
+        stats_dir = os.path.join(merged_dir, "term_stats")
+        legacy = os.path.join(merged_dir, "term_stats.parquet")
+        if os.path.isdir(stats_dir):
+            import pyarrow.dataset as pads
+
+            self._stats = pads.dataset(stats_dir).to_table()
+        else:
+            self._stats = pq.read_table(legacy)
+        # sorted term order: binary search for large vocab, dict for small
+        self._terms_arr = self._stats.column("term").combine_chunks()
+        self._dfs = self._stats.column("doc_freq").to_numpy()
+        if len(self._terms_arr) <= 200_000:
+            self._df = dict(zip(self._terms_arr.to_pylist(),
+                                self._dfs.tolist()))
+        else:
+            self._df = None
+
+    def _term_ord(self, term: str):
+        lo, hi = 0, len(self._terms_arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = self._terms_arr[mid].as_py()
+            if v < term:
+                lo = mid + 1
+            elif v > term:
+                hi = mid
+            else:
+                return mid
+        return None
 
     def doc_freq(self, term: str) -> int:
-        return int(self._df.get(term, 0))
+        if self._df is not None:
+            return int(self._df.get(term, 0))
+        o = self._term_ord(term)
+        return int(self._dfs[o]) if o is not None else 0
+
+    def has_term(self, term: str) -> bool:
+        return self.doc_freq(term) > 0
 
     def postings(self, term: str):
-        """→ (global_docs, tfs) or None; reads only the term's bucket."""
+        """→ (global_docs, tfs) or None.  Reads are pruned to the files /
+        row groups whose [min_term, max_term] parquet statistics can
+        contain the term (the output is term-range sorted); legacy
+        hash-bucket layouts prune by bucket directory."""
         import pyarrow.dataset as pads
         import zlib
 
-        if term not in self._df:
+        if not self.has_term(term):
             return None
-        bucket = zlib.crc32(term.encode()) % self.meta["num_buckets"]
-        dset = pads.dataset(
-            os.path.join(self.merged_dir, "parts", f"bucket={bucket}")
-        )
+        parts = os.path.join(self.merged_dir, "parts")
+        if self._legacy_buckets:
+            bucket = zlib.crc32(term.encode()) % self.meta["num_buckets"]
+            dset = pads.dataset(os.path.join(parts, f"bucket={bucket}"))
+        else:
+            if self._parts_dset is None:
+                self._parts_dset = pads.dataset(parts)
+            dset = self._parts_dset
         t = dset.to_table(filter=pads.field("term") == term)
         if t.num_rows == 0:
             return None
+        bases = (t.column("doc_base").to_pylist()
+                 if "doc_base" in t.column_names else [0] * t.num_rows)
         rows = sorted(
             zip(t.column("first_doc").to_pylist(),
-                t.column("postings").to_pylist()),
+                t.column("postings").to_pylist(), bases),
         )
         docs_parts, tf_parts = [], []
-        for _, blob in rows:
+        for _, blob, base in rows:
             r = TermPostingsReader(np.frombuffer(blob, dtype=np.uint8))
             d, tf = r.decode_all()
-            docs_parts.append(d)
+            # pass-through fragments store segment-local doc ids + base
+            docs_parts.append(d.astype(np.int64) + base if base
+                              else d.astype(np.int64))
             tf_parts.append(tf)
         return np.concatenate(docs_parts), np.concatenate(tf_parts)

@@ -258,6 +258,12 @@ def build_segment_from_table(
             "postings_len": pa.array(lens, type=pa.int64()),
             "positions_offset": pa.array(pos_offsets, type=pa.int64()),
             "positions_len": pa.array(pos_lens, type=pa.int64()),
+            # per-term posting bounds: lets the merge explode stage emit
+            # pass-through fragments without decoding any posting blob
+            "first_doc": pa.array(
+                post_docs[term_starts].astype(np.int64), type=pa.int64()),
+            "last_doc": pa.array(
+                post_docs[term_ends - 1].astype(np.int64), type=pa.int64()),
         }
     )
     pq.write_table(term_table, os.path.join(seg_path, "terms.parquet"))
@@ -328,6 +334,14 @@ class SegmentReader:
         self._len = tt.column("postings_len").to_numpy()
         self._pos_off = tt.column("positions_offset").to_numpy()
         self._pos_len = tt.column("positions_len").to_numpy()
+        # per-term posting bounds (segments built before these columns
+        # existed fall back to decoding in the merge explode stage)
+        if "first_doc" in tt.column_names:
+            self.term_first_doc = tt.column("first_doc").to_numpy()
+            self.term_last_doc = tt.column("last_doc").to_numpy()
+        else:
+            self.term_first_doc = None
+            self.term_last_doc = None
 
         p = os.path.join(seg_path, "postings.bin")
         self._postings = (
