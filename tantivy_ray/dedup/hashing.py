@@ -1,0 +1,105 @@
+"""Vectorized 64-bit hashing + Mersenne-prime modular arithmetic.
+
+Shared by the MinHash / SimHash stages: per-string python hashing
+(hashlib.blake2b per shingle) was the round-1 hot-spot; these helpers
+hash a whole batch's shingles in one C call (pandas' SipHash-based
+``hash_array``, fixed key → deterministic across processes) and compute
+``(a*x + b) mod (2^61-1)`` entirely in uint64 numpy via 32-bit split
+multiplies with Mersenne folding — no object-dtype big-int arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+P61 = np.uint64((1 << 61) - 1)
+_U32 = np.uint64(0xFFFFFFFF)
+_U29 = np.uint64((1 << 29) - 1)
+
+
+def hash_strings64(strings: List[str]) -> np.ndarray:
+    """Deterministic uint64 hash of each string (vectorized, C speed)."""
+    if len(strings) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(strings, dtype=object))
+
+
+def fold61(z: np.ndarray) -> np.ndarray:
+    """Reduce arbitrary uint64 values modulo 2^61-1 (Mersenne fold)."""
+    z = (z & P61) + (z >> np.uint64(61))
+    z = (z & P61) + (z >> np.uint64(61))
+    return z - (z >= P61).astype(np.uint64) * P61
+
+
+def mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61-1) for uint64 arrays < 2^61-1, broadcastable.
+
+    a = a1*2^32 + a0, x = x1*2^32 + x0 (a1, x1 < 2^29):
+      a*x = a1*x1*2^64 + (a1*x0 + a0*x1)*2^32 + a0*x0
+    with 2^61 ≡ 1 (mod p): 2^64 ≡ 8, and m*2^32 ≡ (m>>29) + (m&(2^29-1))*2^32.
+    Every intermediate fits in uint64."""
+    a = np.asarray(a, dtype=np.uint64)
+    x = np.asarray(x, dtype=np.uint64)
+    a0, a1 = a & _U32, a >> np.uint64(32)
+    x0, x1 = x & _U32, x >> np.uint64(32)
+    hh = fold61(a1 * x1 * np.uint64(8))
+    mid = fold61(a1 * x0 + a0 * x1)
+    mid = fold61((mid >> np.uint64(29)) + ((mid & _U29) << np.uint64(32)))
+    lo = fold61(a0 * x0)
+    return fold61(hh + mid + lo)
+
+
+def affine_min_hash(hashes: np.ndarray, a: np.ndarray, b: np.ndarray,
+                    starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """MinHash signatures for segment-partitioned shingle hashes.
+
+    hashes: (S,) uint64 shingle hashes (concatenated over docs);
+    a, b: (P,) permutation params; starts/ends: per-doc [start, end)
+    ranges into ``hashes``.  Returns (D, P) uint64 signature matrix
+    (rows of empty docs are p-filled).  Fully vectorized: one (S, P)
+    mulmod + per-doc ``np.minimum.reduceat`` (integer min — no f32
+    accumulation caveat)."""
+    D = len(starts)
+    P = len(a)
+    out = np.full((D, P), P61, dtype=np.uint64)
+    if len(hashes) == 0 or D == 0:
+        return out
+    x = fold61(hashes)  # bring into [0, p)
+    # (S, P) permuted matrix in bounded chunks to cap peak memory
+    S = len(x)
+    chunk = max(1, (1 << 22) // max(P, 1))  # ~32 MB per chunk
+    perm = np.empty((S, P), dtype=np.uint64)
+    for s in range(0, S, chunk):
+        e = min(s + chunk, S)
+        perm[s:e] = fold61(mulmod61(a[None, :], x[s:e, None]) + b[None, :])
+    # docs' shingle runs are contiguous by construction (concatenated in
+    # doc order); np.minimum.reduceat needs non-empty segments, so reduce
+    # over the non-empty docs only (their runs remain adjacent)
+    nonempty = np.flatnonzero(ends > starts)
+    if len(nonempty):
+        ne_starts = starts[nonempty]
+        assert np.array_equal(ends[nonempty][:-1], ne_starts[1:]) \
+            and ends[nonempty][-1] == S, "shingle runs must be contiguous"
+        out[nonempty] = np.minimum.reduceat(perm, ne_starts, axis=0)
+    return out
+
+
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(D, bands) uint64 bucket keys: each band's signature rows mixed
+    into one key (vectorized splitmix-style combine), with the band
+    index folded in so different bands never share buckets."""
+    D, P = sigs.shape
+    rows = P // bands
+    m = sigs[:, :bands * rows].reshape(D, bands, rows)
+    h = np.zeros((D, bands), dtype=np.uint64)
+    for r in range(rows):
+        h ^= m[:, :, r] + _BAND_MIX + (h << np.uint64(6)) + (h >> np.uint64(2))
+        h *= _BAND_MIX
+    h ^= np.arange(bands, dtype=np.uint64)[None, :] * _BAND_MIX
+    return h

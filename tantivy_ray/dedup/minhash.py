@@ -1,23 +1,33 @@
-"""MinHash + LSH near-duplicate detection.
+"""MinHash + LSH near-duplicate detection — distributed end to end.
 
-Pipeline shape (the guide's canonical LSH chain):
-    map_batches(shingle → minhash signatures, vectorized)
-  → flat_map to (band_id, band_hash, doc_id) rows
-  → groupby(band) → candidate pairs within buckets
-  → exact-Jaccard verify on the candidates only (second, pruned read)
+Pipeline shape (the canonical LSH chain, every stage a Dataset op):
+    map_batches(shingle → minhash signatures, fully vectorized)
+  → (band_key, doc_id) rows → groupby(band_key) → candidate pairs
+  → groupby(pair) dedup
+  → reduce-side JOIN of candidate shingle sets to pair endpoints
+    (groupby doc_id over pair-endpoint rows ∪ shingle rows)
+  → groupby(pair) → exact Jaccard inside the group
+No document row data (texts, shingle sets) ever lands on the driver;
+the only driver-side value is the candidate doc-id array, broadcast via
+``ray.put`` to prune the shingle re-read (the blessed small-side
+broadcast — at extreme candidate volume pass ``prune_candidates=False``
+to shingle every doc instead).
 
-Shingles are token w-grams (default w=3) of the default analyzer's output;
-documents with fewer than w tokens are excluded (their shingle set is
-empty — same rule the SQL oracle applies). Signatures use 128 universal-
-hash permutations over blake2b-64 shingle hashes; bands default to 32x4 so
-P(miss | jaccard >= 0.8) < 1e-7 — effectively exhaustive at the verify
-threshold while shuffling only (band_hash, doc_id) pairs at scale.
+Shingles are token w-grams (default w=3) of the default analyzer's
+output; documents with fewer than w tokens are excluded (their shingle
+set is empty — same rule the SQL oracle applies).  Signatures use 128
+universal-hash permutations ((a*x+b) mod 2^61-1, uint64 split-multiply
+— see hashing.py) over vectorized SipHash shingle hashes; bands default
+to 32x4 so P(miss | jaccard >= 0.8) < 1e-7 — effectively exhaustive at
+the verify threshold while shuffling only (band_key, doc_id) pairs at
+scale.  The reported jaccard is the EXACT shingle-set jaccard (LSH only
+prunes candidates), so results match a brute-force oracle whenever the
+banding recall covers the threshold.
 """
 
 from __future__ import annotations
 
-import hashlib
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -25,6 +35,7 @@ import pyarrow as pa
 
 from ..analyzer import analyze_batch
 from ..utils import remote_args
+from .hashing import P61, affine_min_hash, band_keys, hash_strings64
 
 _MERSENNE = (1 << 61) - 1
 
@@ -41,45 +52,166 @@ class MinHasher:
     def shingles(tokens: List[str], w: int) -> List[str]:
         return [" ".join(tokens[i:i + w]) for i in range(len(tokens) - w + 1)]
 
-    @staticmethod
-    def _hash64(shingles: List[str]) -> np.ndarray:
-        return np.array(
-            [int.from_bytes(
-                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-             for s in shingles],
-            dtype=np.uint64,
-        )
+    def signatures_batch(self, token_lists: List[List[str]]) -> np.ndarray:
+        """(D, P) uint64 signatures; empty-shingle docs are P61-filled.
+
+        One vectorized hash over ALL distinct shingles in the batch and
+        one (S, P) uint64 mulmod — no per-document python arithmetic."""
+        w = self.shingle_w
+        all_sh: List[str] = []
+        starts = np.empty(len(token_lists), dtype=np.int64)
+        ends = np.empty(len(token_lists), dtype=np.int64)
+        for i, toks in enumerate(token_lists):
+            starts[i] = len(all_sh)
+            # unique shingles per doc (set semantics of the jaccard oracle)
+            if len(toks) >= w:
+                all_sh.extend(set(self.shingles(toks, w)))
+            ends[i] = len(all_sh)
+        hashes = hash_strings64(all_sh)
+        return affine_min_hash(hashes, self.a, self.b, starts, ends)
 
     def signature(self, tokens: List[str]) -> Optional[np.ndarray]:
-        sh = self.shingles(tokens, self.shingle_w)
-        if not sh:
-            return None
-        x = self._hash64(np.unique(np.array(sh, dtype=object)).tolist())
-        # (a*x + b) mod p, computed in python ints via object overflow-free
-        # trick: use uint64 modular arithmetic with 128-bit intermediate
-        x = x.astype(object)
-        vals = (self.a.astype(object)[None, :] * x[:, None]
-                + self.b.astype(object)[None, :]) % _MERSENNE
-        return np.min(np.array(vals, dtype=np.uint64), axis=0)
-
-    def signatures_batch(self, token_lists: List[List[str]]) -> List[Optional[np.ndarray]]:
-        return [self.signature(t) for t in token_lists]
-
-
-def band_hashes(sig: np.ndarray, bands: int) -> List[int]:
-    rows = len(sig) // bands
-    out = []
-    for b in range(bands):
-        chunk = sig[b * rows:(b + 1) * rows].tobytes()
-        out.append(int.from_bytes(
-            hashlib.blake2b(chunk, digest_size=8).digest(), "big"))
-    return out
+        sig = self.signatures_batch([tokens])[0]
+        return None if (sig == P61).all() else sig
 
 
 def _jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 0.0
     return len(a & b) / len(a | b)
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"id_a": pa.array([], type=pa.int64()),
+                     "id_b": pa.array([], type=pa.int64()),
+                     "jaccard": pa.array([], type=pa.float64())})
+
+
+_JOIN_SCHEMA = pa.schema([
+    ("jkey", pa.int64()),
+    ("pair", pa.string()),
+    ("side", pa.int32()),
+    ("shingles", pa.list_(pa.string())),
+])
+
+
+def _make_shingle_stage(needed_ref, text_col: str, id_col: str,
+                        shingle_w: int, analyzer: str):
+    """Shingle the candidate docs only.  The candidate id array is a
+    ``ray.put`` broadcast: each task fetches it zero-copy from the local
+    object store (never re-shipped per batch in a closure)."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        import ray
+
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy()
+        if needed_ref is not None:
+            needed = ray.get(needed_ref)
+            pos = np.searchsorted(needed, ids).clip(0, len(needed) - 1)
+            keep = np.flatnonzero(needed[pos] == ids)
+            if len(keep) == 0:
+                return pa.Table.from_pydict(
+                    {f.name: [] for f in _JOIN_SCHEMA}, schema=_JOIN_SCHEMA)
+            batch = batch.take(pa.array(keep, type=pa.int64()))
+            ids = ids[keep]
+        out = analyze_batch(batch.column(text_col), analyzer)
+        sh = [sorted(set(MinHasher.shingles(t, shingle_w)))
+              for t in out.tokens.to_pylist()]
+        return pa.table({
+            "jkey": pa.array(ids, type=pa.int64()),
+            "pair": pa.array([""] * len(ids), type=pa.string()),
+            "side": pa.array([2] * len(ids), type=pa.int32()),
+            "shingles": pa.array(sh, type=pa.list_(pa.string())),
+        }).cast(_JOIN_SCHEMA)
+
+    return stage
+
+
+def _bucket_pairs_block(tbl: pa.Table, id_col: str) -> pa.Table:
+    """All candidate pairs in one bkey-sorted block.  Singleton buckets
+    (the vast majority) are skipped vectorized; only real buckets loop."""
+    n = tbl.num_rows
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64())})
+    if n == 0:
+        return empty
+    k = tbl.column("bkey").to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    multi = (ends - starts) >= 2
+    if not multi.any():
+        return empty
+    ids_np = tbl.column(id_col).to_numpy()
+    a_out, b_out = [], []
+    for s, e in zip(starts[multi], ends[multi]):
+        ids = np.unique(ids_np[s:e])
+        if len(ids) < 2:
+            continue
+        iu, ju = np.triu_indices(len(ids), k=1)
+        a_out.append(ids[iu])
+        b_out.append(ids[ju])
+    if not a_out:
+        return empty
+    return pa.table({
+        "id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+        "id_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+    })
+
+
+def _attach_shingles_block(tbl: pa.Table) -> pa.Table:
+    """Join step (jkey-sorted block): each doc's shingle row is fanned
+    to its pair-endpoint rows; duplicate (pair, side) endpoints (the
+    same pair firing in several bands) collapse here."""
+    n = tbl.num_rows
+    out_schema = pa.schema([("pair", pa.string()), ("side", pa.int32()),
+                            ("shingles", pa.list_(pa.string()))])
+    if n == 0:
+        return pa.Table.from_pydict(
+            {f.name: [] for f in out_schema}, schema=out_schema)
+    df = tbl.to_pandas()
+    rows_pair, rows_side, rows_sh = [], [], []
+    for _, g in df.groupby("jkey", sort=False):
+        sh_rows = g[g["side"] == 2]
+        sh = list(sh_rows["shingles"].iloc[0]) if len(sh_rows) else []
+        ends = g[g["side"] != 2].drop_duplicates(subset=["pair", "side"])
+        rows_pair.extend(ends["pair"])
+        rows_side.extend(int(s) for s in ends["side"])
+        rows_sh.extend([sh] * len(ends))
+    return pa.table({
+        "pair": pa.array(rows_pair, type=pa.string()),
+        "side": pa.array(rows_side, type=pa.int32()),
+        "shingles": pa.array(rows_sh, type=pa.list_(pa.string())),
+    })
+
+
+def _make_pair_jaccard_block(threshold: float):
+    def block_fn(tbl: pa.Table) -> pa.Table:
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        if tbl.num_rows:
+            df = tbl.to_pandas()
+            for pk, g in df.groupby("pair", sort=False):
+                a = b = None
+                for _, r in g.iterrows():
+                    if r["side"] == 0:
+                        a = set(r["shingles"])
+                    else:
+                        b = set(r["shingles"])
+                j = _jaccard(a or set(), b or set())
+                if j >= threshold:
+                    ia, ib = pk.split(":")
+                    out["id_a"].append(int(ia))
+                    out["id_b"].append(int(ib))
+                    out["jaccard"].append(round(j, 6))
+        return pa.table({
+            "id_a": pa.array(out["id_a"], type=pa.int64()),
+            "id_b": pa.array(out["id_b"], type=pa.int64()),
+            "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+        })
+
+    return block_fn
 
 
 def minhash_lsh_pairs(
@@ -91,96 +223,94 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_w: int = 3,
     analyzer: str = "default",
+    prune_candidates: bool = True,
 ) -> pa.Table:
-    """→ pa.Table (id_a, id_b, jaccard) for verified near-dup pairs.
+    """→ pa.Table (id_a, id_b, jaccard) for verified near-dup pairs,
+    id_a < id_b.  See module docstring for the distributed shape."""
+    import ray
 
-    id_a < id_b; jaccard is the EXACT shingle-set jaccard (LSH only
-    prunes candidates), so results match a brute-force oracle whenever
-    the banding recall covers the threshold."""
     hasher = MinHasher(num_perm, shingle_w=shingle_w)
 
     def stage_bands(batch: pa.Table) -> pa.Table:
         out = analyze_batch(batch.column(text_col), analyzer)
-        ids = batch.column(id_col).to_pylist()
-        rows_band: List[int] = []
-        rows_hash: List[int] = []
-        rows_id: List = []
-        for i, toks in enumerate(out.tokens.to_pylist()):
-            sig = hasher.signature(toks)
-            if sig is None:
-                continue
-            for b, h in enumerate(band_hashes(sig, bands)):
-                rows_band.append(b)
-                rows_hash.append(h)
-                rows_id.append(ids[i])
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy()
+        sigs = hasher.signatures_batch(out.tokens.to_pylist())
+        nonempty = np.flatnonzero(~(sigs == P61).all(axis=1))
+        if len(nonempty) == 0:
+            return pa.table({"bkey": pa.array([], type=pa.uint64()),
+                             id_col: pa.array([], type=pa.int64())})
+        keys = band_keys(sigs[nonempty], bands)           # (D', bands)
+        D = len(nonempty)
         return pa.table({
-            "band": pa.array(rows_band, type=pa.int32()),
-            "bhash": pa.array(rows_hash, type=pa.uint64()),
-            id_col: pa.array(rows_id),
+            "bkey": pa.array(keys.ravel(), type=pa.uint64()),
+            id_col: pa.array(np.repeat(ids[nonempty], bands),
+                             type=pa.int64()),
         })
 
     banded = ds.map_batches(stage_bands, batch_format="pyarrow",
                             **remote_args())
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g[id_col]))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    # bucket pairs: sort(bkey) + whole-block vectorized run-length scan
+    # (a per-group map_groups would pay pandas slicing on every
+    # singleton bucket — the vast majority)
+    cand = banded.sort("bkey").map_batches(
+        lambda t: _bucket_pairs_block(t, id_col),
+        batch_size=None, batch_format="pyarrow", **remote_args(),
+    )
 
-    # group on (band, bhash): same-bucket docs are candidates
-    banded = banded.map_batches(
-        lambda t: t.append_column(
-            "bkey",
-            pa.array([f"{b}:{h}" for b, h in
-                      zip(t.column("band").to_pylist(),
-                          t.column("bhash").to_pylist())])),
+    # pair-endpoint rows for the reduce-side join (duplicate pairs from
+    # multiple bands collapse inside the join stage)
+    def endpoints(t: pa.Table) -> pa.Table:
+        ia = t.column("id_a").to_numpy()
+        ib = t.column("id_b").to_numpy()
+        pairs = [f"{a}:{b}" for a, b in zip(ia, ib)]
+        return pa.table({
+            "jkey": pa.array(np.concatenate([ia, ib]), type=pa.int64()),
+            "pair": pa.array(pairs + pairs, type=pa.string()),
+            "side": pa.array([0] * len(ia) + [1] * len(ib),
+                             type=pa.int32()),
+            "shingles": pa.array([[]] * (2 * len(ia)),
+                                 type=pa.list_(pa.string())),
+        }).cast(_JOIN_SCHEMA)
+
+    ends_ds = cand.map_batches(endpoints, batch_format="pyarrow",
+                               **remote_args())
+
+    # candidate doc ids (small scalar side) → broadcast to prune the
+    # shingle re-read; at extreme candidate volume shingle all docs
+    needed_ref = None
+    if prune_candidates:
+        uniq: set = set()
+        for b in ends_ds.select_columns(["jkey"]).iter_batches(
+                batch_format="pyarrow"):
+            uniq.update(b.column("jkey").to_pylist())
+        if not uniq:
+            return _empty_pairs()
+        needed_ref = ray.put(np.array(sorted(uniq), dtype=np.int64))
+
+    shingle_ds = ds.map_batches(
+        _make_shingle_stage(needed_ref, text_col, id_col, shingle_w,
+                            analyzer),
+        batch_format="pyarrow",
+        **remote_args(),
+    )
+
+    joined = ends_ds.union(shingle_ds).sort("jkey").map_batches(
+        _attach_shingles_block, batch_size=None, batch_format="pyarrow",
+        **remote_args(),
+    )
+    verified = joined.sort("pair").map_batches(
+        _make_pair_jaccard_block(threshold), batch_size=None,
         batch_format="pyarrow", **remote_args(),
     )
-    cand = banded.groupby("bkey").map_groups(
-        bucket_pairs, batch_format="pandas", **remote_args()
-    )
-    cand_pdf = cand.to_pandas().drop_duplicates(ignore_index=True)
-    if len(cand_pdf) == 0:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-
-    # verify: fetch shingle sets for candidate doc ids only
-    needed = set(cand_pdf["id_a"]) | set(cand_pdf["id_b"])
-
-    def stage_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        keep = [i for i, d in enumerate(ids) if int(d) in needed]
-        if not keep:
-            return pa.table({id_col: pa.array([], type=pa.int64()),
-                             "shingles": pa.array([], type=pa.list_(pa.string()))})
-        sub = batch.take(keep)
-        out = analyze_batch(sub.column(text_col), analyzer)
-        sh = [sorted(set(MinHasher.shingles(t, shingle_w)))
-              for t in out.tokens.to_pylist()]
-        return pa.table({
-            id_col: sub.column(id_col).cast(pa.int64()),
-            "shingles": pa.array(sh, type=pa.list_(pa.string())),
-        })
-
-    sh_tbl = ds.map_batches(stage_shingles, batch_format="pyarrow",
-                            **remote_args()).to_pandas()
-    sh_of: Dict[int, set] = {
-        int(r[0]): set(r[1]) for r in sh_tbl.itertuples(index=False)
-    }
-    rows = []
-    for a, b in cand_pdf.itertuples(index=False):
-        j = _jaccard(sh_of.get(int(a), set()), sh_of.get(int(b), set()))
-        if j >= threshold:
-            rows.append((int(a), int(b), j))
-    rows.sort()
+    pdf = verified.to_pandas()
+    if len(pdf) == 0:
+        return _empty_pairs()
+    pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.table({
-        "id_a": pa.array([r[0] for r in rows], type=pa.int64()),
-        "id_b": pa.array([r[1] for r in rows], type=pa.int64()),
-        "jaccard": pa.array([round(r[2], 6) for r in rows], type=pa.float64()),
+        "id_a": pa.array(pdf["id_a"].astype(np.int64)),
+        "id_b": pa.array(pdf["id_b"].astype(np.int64)),
+        "jaccard": pa.array(pdf["jaccard"].astype(np.float64)),
     })
 
 

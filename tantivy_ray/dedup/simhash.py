@@ -14,7 +14,6 @@ unlike MinHash banding there is no probabilistic miss.
 
 from __future__ import annotations
 
-import hashlib
 from typing import List
 
 import numpy as np
@@ -23,6 +22,7 @@ import pyarrow as pa
 
 from ..analyzer import analyze_batch
 from ..utils import remote_args
+from .hashing import hash_strings64
 
 
 class SimHasher:
@@ -31,14 +31,7 @@ class SimHasher:
         self.nbits = 64
         self.shingle_w = shingle_w
 
-    @staticmethod
-    def _feature_hashes(feats: List[str]) -> np.ndarray:
-        return np.array(
-            [int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-             for t in feats],
-            dtype=np.uint64,
-        )
+    _feature_hashes = staticmethod(hash_strings64)
 
     def features(self, tokens: List[str]) -> List[str]:
         w = self.shingle_w
@@ -47,18 +40,38 @@ class SimHasher:
         return sorted({" ".join(tokens[i:i + w])
                        for i in range(len(tokens) - w + 1)})
 
+    def fingerprints_batch(self, token_lists: List[List[str]]) -> np.ndarray:
+        """(D,) uint64 fingerprints, vectorized across the whole batch:
+        one C-speed hash over all features + per-doc bit-sums via
+        integer ``np.add.reduceat`` over contiguous feature runs."""
+        all_feats: List[str] = []
+        starts = np.empty(len(token_lists), dtype=np.int64)
+        counts = np.empty(len(token_lists), dtype=np.int64)
+        for i, toks in enumerate(token_lists):
+            f = self.features(toks)
+            starts[i] = len(all_feats)
+            counts[i] = len(f)
+            all_feats.extend(f)
+        out = np.zeros(len(token_lists), dtype=np.uint64)
+        if not all_feats:
+            return out
+        h = hash_strings64(all_feats)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64)                       # (S, 64)
+        nonempty = np.flatnonzero(counts > 0)
+        if len(nonempty) == 0:
+            return out
+        ones = np.add.reduceat(bits, starts[nonempty], axis=0)  # (D', 64)
+        # ±1 votes: bit set iff ones > count/2 (ties → 0, matching the
+        # strict `v > 0` sign rule: 2*ones - count > 0)
+        pos = (2 * ones) > counts[nonempty][:, None]
+        weights = np.left_shift(np.uint64(1),
+                                np.arange(64, dtype=np.uint64))
+        out[nonempty] = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return out
+
     def fingerprint(self, tokens: List[str]) -> int:
-        feats = self.features(tokens)
-        if not feats:
-            return 0
-        h = self._feature_hashes(feats)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        v = np.where(bits == 1, 1, -1).sum(axis=0)
-        fp = 0
-        for i in range(64):
-            if v[i] > 0:
-                fp |= (1 << i)
-        return fp
+        return int(self.fingerprints_batch([tokens])[0])
 
 
 def hamming(a: int, b: int) -> int:
@@ -74,21 +87,26 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id",
 
     def stage(batch: pa.Table) -> pa.Table:
         out = analyze_batch(batch.column(text_col), analyzer)
-        ids = batch.column(id_col).to_pylist()
-        rows = {"band_key": [], id_col: [], "fp": []}
-        for i, toks in enumerate(out.tokens.to_pylist()):
-            if not toks:
-                continue
-            fp = hasher.fingerprint(toks)
-            for b in range(n_bands):
-                part = (fp >> (b * band_bits)) & ((1 << band_bits) - 1)
-                rows["band_key"].append(f"{b}:{part:x}")
-                rows[id_col].append(int(ids[i]))
-                rows["fp"].append(fp)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy()
+        token_lists = out.tokens.to_pylist()
+        nonempty = np.array([bool(t) for t in token_lists], dtype=bool)
+        idx = np.flatnonzero(nonempty)
+        if len(idx) == 0:
+            return pa.table({"band_key": pa.array([], type=pa.uint64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "fp": pa.array([], type=pa.uint64())})
+        fps = hasher.fingerprints_batch([token_lists[i] for i in idx])
+        # vectorized banding: band b's bits, keyed with the band index
+        mask = np.uint64((1 << band_bits) - 1)
+        parts = np.stack([
+            (fps >> np.uint64(b * band_bits)) & mask for b in range(n_bands)
+        ], axis=1)                                    # (D, n_bands)
+        band_ids = np.arange(n_bands, dtype=np.uint64)[None, :]
+        keys = parts | (band_ids << np.uint64(band_bits))
         return pa.table({
-            "band_key": pa.array(rows["band_key"]),
-            id_col: pa.array(rows[id_col], type=pa.int64()),
-            "fp": pa.array(rows["fp"], type=pa.uint64()),
+            "band_key": pa.array(keys.ravel(), type=pa.uint64()),
+            id_col: pa.array(np.repeat(ids[idx], n_bands), type=pa.int64()),
+            "fp": pa.array(np.repeat(fps, n_bands), type=pa.uint64()),
         })
 
     banded = ds.map_batches(stage, batch_format="pyarrow", **remote_args())
