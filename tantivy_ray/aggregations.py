@@ -174,7 +174,40 @@ class HyperLogLog:
 
 _METRICS = {"avg", "min", "max", "sum", "value_count", "stats",
             "extended_stats", "percentiles", "cardinality", "top_hits"}
-_BUCKETS = {"terms", "histogram", "date_histogram", "range", "filter"}
+_BUCKETS = {"terms", "histogram", "date_histogram", "range", "filter",
+            "composite"}
+
+
+class AggregationLimitsError(Exception):
+    """Bucket budget exceeded (reference src/aggregation/agg_limits.rs
+    AggregationLimitsGuard: aborts runaway high-cardinality aggregations
+    instead of OOMing the process)."""
+
+
+DEFAULT_MAX_BUCKETS = 65_536
+
+
+def count_buckets(partial: Dict) -> int:
+    """Total buckets in a partial tree (the limits-guard metric)."""
+    total = 0
+    for p in partial.values():
+        if not isinstance(p, tuple):
+            continue
+        if p[0] == "b":
+            total += len(p[2])
+            for b in p[2].values():
+                total += count_buckets(b.get("sub", {}))
+        elif p[0] == "f":
+            total += 1 + count_buckets(p[2])
+    return total
+
+
+def check_limits(partial: Dict, max_buckets: int = DEFAULT_MAX_BUCKETS):
+    n = count_buckets(partial)
+    if n > max_buckets:
+        raise AggregationLimitsError(
+            f"aggregation produced {n} buckets, exceeding the "
+            f"max_buckets budget of {max_buckets}")
 
 
 def _top_hits_sort_key(spec: Dict):
@@ -327,6 +360,10 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
             out[name] = ("f", int(m2.sum()),
                          compute_partial(subs, batch, m2))
             continue
+        if kind == "composite":
+            out[name] = ("b", kind,
+                         _composite_partial(body, subs, batch, sel), {})
+            continue
         # bucket aggs: compute bucket key per row
         col = batch[body["field"]]
         if kind in ("terms", "histogram", "date_histogram"):
@@ -360,7 +397,25 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
                 else:
                     sub = {}
                 buckets[k] = {"doc_count": int(counts[u_i]), "sub": sub}
-            out[name] = ("b", kind, buckets)
+            meta: Dict[str, Any] = {}
+            shard_size = body.get("shard_size") if kind == "terms" else None
+            if shard_size is not None and len(buckets) > shard_size:
+                # per-shard truncation (ES shard_size semantics): keep the
+                # top shard_size by (count desc, key asc) and remember the
+                # smallest kept count — the doc_count_error contribution
+                # of this shard for buckets it did NOT report
+                kept = sorted(buckets.items(),
+                              key=lambda kv: (-kv[1]["doc_count"],
+                                              str(kv[0])))[:shard_size]
+                buckets = dict(kept)
+                meta["min_kept"] = int(kept[-1][1]["doc_count"])
+                for b in buckets.values():
+                    b.setdefault("err", 0)
+            elif shard_size is not None:
+                meta["min_kept"] = 0
+                for b in buckets.values():
+                    b.setdefault("err", 0)
+            out[name] = ("b", kind, buckets, meta)
             continue
         if kind == "range":
             vals = col.astype(np.float64)
@@ -377,10 +432,60 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
                     "doc_count": int(m2.sum()),
                     "sub": compute_partial(subs, batch, m2),
                 }
-            out[name] = ("b", kind, buckets)
+            out[name] = ("b", kind, buckets, {})
             continue
         raise ValueError(f"unknown aggregation {kind}")
     return out
+
+
+def _composite_sources(body: Dict) -> List:
+    """[(source_name, source_kind, source_body), ...] in request order."""
+    out = []
+    for src in body["sources"]:
+        (sname, sdef), = src.items()
+        (skind, sbody), = sdef.items()
+        out.append((sname, skind, sbody))
+    return out
+
+
+def _composite_partial(body: Dict, subs: Dict, batch: Dict,
+                       sel: np.ndarray) -> Dict:
+    """Composite buckets (reference bucket/composite/mod.rs:201): the
+    cartesian key tuples actually present in the selection, each with
+    doc_count + sub-agg partials.  Pagination (size/after) happens at
+    finalize — partials keep every present tuple so merge stays exact."""
+    sources = _composite_sources(body)
+    sel_idx = np.flatnonzero(sel)
+    if len(sel_idx) == 0:
+        return {}
+    cols = []
+    for sname, skind, sbody in sources:
+        col = np.asarray(batch[sbody["field"]])[sel_idx]
+        if skind in ("histogram", "date_histogram"):
+            interval = sbody.get("interval") or sbody.get("fixed_interval")
+            off = sbody.get("offset", 0)
+            vals = col.astype(np.float64)
+            col = np.floor((vals - off) / interval) * interval + off
+        elif skind != "terms":
+            raise ValueError(f"composite source kind {skind}")
+        cols.append(col)
+    import pandas as pd
+
+    df = pd.DataFrame({i: c for i, c in enumerate(cols)})
+    grouped = df.groupby(list(range(len(cols))), sort=False).indices
+    buckets: Dict = {}
+    for key, idx in grouped.items():
+        key_t = key if isinstance(key, tuple) else (key,)
+        key_t = tuple(k.item() if isinstance(k, np.generic) else k
+                      for k in key_t)
+        if subs:
+            m2 = np.zeros(len(sel), dtype=bool)
+            m2[sel_idx[idx]] = True
+            sub = compute_partial(subs, batch, m2)
+        else:
+            sub = {}
+        buckets[key_t] = {"doc_count": int(len(idx)), "sub": sub}
+    return buckets
 
 
 def merge_partials(aggs: Dict[str, Dict], a: Dict, b: Dict) -> Dict:
@@ -402,16 +507,37 @@ def merge_partials(aggs: Dict[str, Dict], a: Dict, b: Dict) -> Dict:
             out[name] = ("f", pa_[1] + pb[1],
                          merge_partials(subs, pa_[2], pb[2]))
         else:
-            buckets = dict(pa_[2])
-            for key, bb in pb[2].items():
-                if key in buckets:
-                    buckets[key] = {
-                        "doc_count": buckets[key]["doc_count"] + bb["doc_count"],
-                        "sub": merge_partials(subs, buckets[key]["sub"], bb["sub"]),
+            meta_a = pa_[3] if len(pa_) > 3 else {}
+            meta_b = pb[3] if len(pb) > 3 else {}
+            min_a = meta_a.get("min_kept")
+            min_b = meta_b.get("min_kept")
+            track_err = min_a is not None or min_b is not None
+            buckets = {}
+            for key, ba in pa_[2].items():
+                bb = pb[2].get(key)
+                if bb is not None:
+                    merged = {
+                        "doc_count": ba["doc_count"] + bb["doc_count"],
+                        "sub": merge_partials(subs, ba["sub"], bb["sub"]),
                     }
+                    if track_err:
+                        merged["err"] = ba.get("err", 0) + bb.get("err", 0)
                 else:
-                    buckets[key] = bb
-            out[name] = ("b", kind, buckets)
+                    merged = dict(ba)
+                    if track_err:
+                        # absent from B: B's kept floor bounds the miss
+                        merged["err"] = ba.get("err", 0) + (min_b or 0)
+                buckets[key] = merged
+            for key, bb in pb[2].items():
+                if key not in pa_[2]:
+                    merged = dict(bb)
+                    if track_err:
+                        merged["err"] = bb.get("err", 0) + (min_a or 0)
+                    buckets[key] = merged
+            meta: Dict = {}
+            if track_err:
+                meta["min_kept"] = (min_a or 0) + (min_b or 0)
+            out[name] = ("b", kind, buckets, meta)
     return out
 
 
@@ -431,8 +557,11 @@ def finalize(aggs: Dict[str, Dict], partial: Dict) -> Dict:
             res = {"doc_count": p[1]}
             res.update(finalize(subs, p[2]))
             out[name] = res
+        elif kind == "composite":
+            out[name] = _composite_finalize(body, subs, p[2])
         else:
             items = list(p[2].items())
+            meta = p[3] if len(p) > 3 else {}
             if kind == "terms":
                 size = body.get("size", 10)
                 # ES order: doc_count desc, key asc
@@ -442,31 +571,131 @@ def finalize(aggs: Dict[str, Dict], partial: Dict) -> Dict:
                 # keys are (request_index, label): requested order
                 items.sort(key=lambda kv: kv[0][0])
             else:
-                items.sort(key=lambda kv: kv[0])
+                items = _histogram_bounds_items(body, items)
             buckets = []
+            show_err = body.get("show_term_doc_count_error", False)
             for key, b in items:
                 if kind == "range":
                     key = key[1]
                 row = {"key": key, "doc_count": b["doc_count"]}
+                if kind == "terms" and show_err:
+                    row["doc_count_error_upper_bound"] = b.get("err", 0)
                 row.update(finalize(subs, b["sub"]))
                 buckets.append(row)
-            out[name] = {"buckets": buckets}
+            res = {"buckets": buckets}
+            if kind == "terms" and meta.get("min_kept") is not None:
+                res["doc_count_error_upper_bound"] = meta["min_kept"]
+            out[name] = res
     return out
 
 
+def _histogram_bounds_items(body: Dict, items: List) -> List:
+    """Histogram finalize: sort by key; honor extended_bounds (force the
+    key range, filling empty buckets), hard_bounds (clip), and
+    min_doc_count=0 gap filling (reference bucket/histogram/histogram.rs:
+    93 — ES semantics; default min_doc_count=1 keeps the sparse
+    observed-keys behavior of the SQL oracles)."""
+    interval = body.get("interval") or body.get("fixed_interval")
+    ext = body.get("extended_bounds")
+    hard = body.get("hard_bounds")
+    min_dc = body.get("min_doc_count", 0 if ext else 1)
+    items.sort(key=lambda kv: kv[0])
+    # data range BEFORE clipping: hard_bounds limit the emitted range but
+    # gap filling spans the (clipped) observed data range (ES semantics)
+    keys_all = [kv[0] for kv in items]
+    if hard:
+        lo_h = math.floor(hard["min"] / interval) * interval
+        hi_h = math.floor(hard["max"] / interval) * interval
+        items = [kv for kv in items if lo_h <= kv[0] <= hi_h]
+    if min_dc == 0 or ext:
+        lo = min(keys_all) if keys_all else None
+        hi = max(keys_all) if keys_all else None
+        if ext:
+            lo_e = math.floor(ext["min"] / interval) * interval
+            hi_e = math.floor(ext["max"] / interval) * interval
+            lo = lo_e if lo is None else min(lo, lo_e)
+            hi = hi_e if hi is None else max(hi, hi_e)
+        if hard:
+            lo = max(lo, math.floor(hard["min"] / interval) * interval)
+            hi = min(hi, math.floor(hard["max"] / interval) * interval)
+        if lo is not None:
+            have = dict(items)
+            full = []
+            k = lo
+            # guard against float drift: step count is exact
+            steps = int(round((hi - lo) / interval)) + 1
+            for i in range(steps):
+                k = lo + i * interval
+                full.append((k, have.get(k, {"doc_count": 0, "sub": {}})))
+            items = full
+    if min_dc > 0:
+        items = [kv for kv in items if kv[1]["doc_count"] >= min_dc]
+    return items
+
+
+def _composite_key_sorters(body: Dict):
+    sources = _composite_sources(body)
+    orders = [sbody.get("order", "asc") for _, _, sbody in sources]
+    return sources, orders
+
+
+def _composite_finalize(body: Dict, subs: Dict, buckets: Dict) -> Dict:
+    """Composite pagination: buckets sorted by the composite key (per-
+    source asc/desc), resumed strictly after ``after`` when given, first
+    ``size`` buckets emitted plus ``after_key`` (reference
+    bucket/composite/mod.rs:201 CompositeAggregation)."""
+    sources, orders = _composite_key_sorters(body)
+    size = body.get("size", 10)
+    items = list(buckets.items())
+    # stable multi-key sort honoring per-source direction (last→first)
+    for i in range(len(sources) - 1, -1, -1):
+        items.sort(key=lambda kv, i=i: kv[0][i],
+                   reverse=(orders[i] == "desc"))
+    after = body.get("after")
+    if after is not None:
+        after_t = tuple(after[sname] for sname, _, _ in sources)
+
+        def beyond(key: tuple) -> bool:
+            for i, (k, a) in enumerate(zip(key, after_t)):
+                if k == a:
+                    continue
+                gt = k > a
+                return gt if orders[i] == "asc" else not gt
+            return False  # equal to after → excluded
+
+        items = [kv for kv in items if beyond(kv[0])]
+    items = items[:size]
+    out_buckets = []
+    for key, b in items:
+        row = {"key": {sname: key[i]
+                       for i, (sname, _, _) in enumerate(sources)},
+               "doc_count": b["doc_count"]}
+        row.update(finalize(subs, b["sub"]))
+        out_buckets.append(row)
+    res = {"buckets": out_buckets}
+    if out_buckets:
+        res["after_key"] = out_buckets[-1]["key"]
+    return res
+
+
 def run_aggregations(ds, aggs: Dict[str, Dict],
-                     batch_size: int = 65536) -> Dict:
+                     batch_size: int = 65536,
+                     max_buckets: int = DEFAULT_MAX_BUCKETS) -> Dict:
     """Execute an aggregation tree over a ray.data.Dataset.
 
     map_batches → one tiny partial per batch → merge on the driver →
     finalize (the reference's collect_segment / merge_fruits /
-    into_final_result trichotomy)."""
+    into_final_result trichotomy).  ``max_buckets`` is the
+    AggregationLimitsGuard budget (src/aggregation/agg_limits.rs):
+    every per-batch partial and the running merge are checked, so a
+    runaway high-cardinality terms agg aborts instead of OOMing."""
     from .utils import remote_args
 
     def partial_fn(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
         import pickle
 
         p = compute_partial(aggs, batch)
+        check_limits(p, max_buckets)
         return {"partial": np.array([pickle.dumps(p)], dtype=object)}
 
     parts = ds.map_batches(
@@ -479,6 +708,7 @@ def run_aggregations(ds, aggs: Dict[str, Dict],
     for row in parts.iter_rows():
         p = pickle.loads(row["partial"])
         merged = p if merged is None else merge_partials(aggs, merged, p)
+        check_limits(merged, max_buckets)
     if merged is None:
         merged = {}
     return finalize(aggs, merged)

@@ -6,6 +6,7 @@ from .analyzer import (  # noqa: F401
     TextAnalyzer,
     TokenizerManager,
     analyze_batch,
+    analyzer_for_lang,
     get_analyzer,
     register_analyzer,
 )

@@ -87,6 +87,18 @@ def _default_registry() -> Dict[str, TextAnalyzer]:
             [RemoveLongFilter(40), LowerCaser(), Stemmer("english")],
             "en_stem",
         ),
+        # per-language stemming chains (reference registers <lang>_stem
+        # names through rust-stemmers; german/french/spanish/russian are
+        # the natively-implemented Snowball ports, snowball_langs.py)
+        **{
+            f"{code}_stem": TextAnalyzer(
+                SimpleTokenizer(),
+                [RemoveLongFilter(40), LowerCaser(), Stemmer(lang)],
+                f"{code}_stem",
+            )
+            for code, lang in (("de", "german"), ("fr", "french"),
+                               ("es", "spanish"), ("ru", "russian"))
+        },
         "whitespace": TextAnalyzer(WhitespaceTokenizer(), [], "whitespace"),
     }
 
@@ -111,6 +123,18 @@ class TokenizerManager:
 
 
 _MANAGER = TokenizerManager()
+
+
+_LANG_ANALYZER = {"en": "en_stem", "de": "de_stem", "fr": "fr_stem",
+                  "es": "es_stem", "ru": "ru_stem"}
+
+
+def analyzer_for_lang(lang: str) -> str:
+    """Analyzer name for a document language code: the language's
+    Snowball stemming chain when implemented, else `default` (the
+    lang-routed build/analysis choice — multilingual corpora stem each
+    document with its own language's algorithm)."""
+    return _LANG_ANALYZER.get(lang, "default")
 
 
 def get_analyzer(name: str) -> TextAnalyzer:
@@ -303,6 +327,7 @@ __all__ = [
     "TokenizerManager",
     "WhitespaceTokenizer",
     "analyze_batch",
+    "analyzer_for_lang",
     "get_analyzer",
     "register_analyzer",
 ]

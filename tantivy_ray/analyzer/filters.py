@@ -130,23 +130,32 @@ class AsciiFoldingFilter:
 
 
 class Stemmer:
-    """Snowball stemmer. Only English is implemented natively; the reference
-    supports 18 Snowball languages via rust-stemmers — other languages raise."""
+    """Snowball stemmer (reference src/tokenizer/stemmer.rs:63-120 via
+    rust-stemmers).  Implemented natively: English (Porter2), German,
+    French, Spanish, Russian — the pure-Python ports of the published
+    Snowball algorithms; the reference's remaining 13 languages raise."""
 
     def __init__(self, language: str = "english"):
-        if language not in ("english", "en"):
-            raise NotImplementedError(
-                f"stemmer language {language!r} not available in this build "
-                "(pure-Python Snowball English only)"
-            )
-        self.language = "english"
+        if language in ("english", "en"):
+            self.language = "english"
+            self._stem = snowball_english_stem
+        else:
+            from .snowball_langs import LANGUAGE_STEMMERS
+
+            fn = LANGUAGE_STEMMERS.get(language)
+            if fn is None:
+                raise NotImplementedError(
+                    f"stemmer language {language!r} not available in this "
+                    "build (english/german/french/spanish/russian only)")
+            self.language = language
+            self._stem = fn
 
     def stem(self, word: str) -> str:
-        return snowball_english_stem(word)
+        return self._stem(word)
 
     def apply(self, tokens: List[Token]) -> List[Token]:
         for t in tokens:
-            t.text = snowball_english_stem(t.text)
+            t.text = self._stem(t.text)
         return tokens
 
 

@@ -1,0 +1,732 @@
+"""Snowball stemmers: German, French, Spanish, Russian — pure Python.
+
+Implemented from the published Snowball algorithm descriptions
+(snowballstem.org/algorithms/{german,french,spanish,russian}/stemmer.html)
+— the same algorithms the reference uses through rust-stemmers
+(/root/reference/src/tokenizer/stemmer.rs:63-120, Language::German etc.).
+English (Porter2) lives in stemmer.py.
+
+All stemmers expect lowercased input (the chain puts LowerCaser first)
+and are memoized — web text repeats terms heavily.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _standard_r1_r2(word: str, vowels: frozenset) -> tuple[int, int]:
+    """R1 = region after the first non-vowel following a vowel; R2 = same
+    rule applied within R1 (the standard Snowball definition)."""
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i] in vowels and word[i + 1] not in vowels:
+            r1 = i + 2
+            break
+    r2 = n
+    for i in range(r1, n - 1):
+        if word[i] in vowels and word[i + 1] not in vowels:
+            r2 = i + 2
+            break
+    return r1, r2
+
+
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = frozenset("aeiouyäöü")
+_DE_S_END = frozenset("bdfghklmnrt")
+_DE_ST_END = frozenset("bdfghklmnt")
+
+
+@lru_cache(maxsize=65536)
+def german_stem(word: str) -> str:
+    word = word.replace("ß", "ss")
+    # mark u/y between vowels as consonants
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _standard_r1_r2(w.lower(), _DE_VOWELS)
+    r1 = max(r1, 3) if len(w) >= 3 else r1  # R1 starts no earlier than 3
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1
+    lw = w.lower()
+    for suf in ("ern", "em", "er"):
+        if lw.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[:-len(suf)]
+            break
+    else:
+        for suf in ("en", "es", "e"):
+            if lw.endswith(suf) and in_r1(len(w) - len(suf)):
+                w = w[:-len(suf)]
+                if w.lower().endswith("niss"):
+                    w = w[:-1]
+                break
+        else:
+            if lw.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 \
+                    and lw[-2] in _DE_S_END:
+                w = w[:-1]
+
+    # step 2
+    lw = w.lower()
+    for suf in ("est", "en", "er"):
+        if lw.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[:-len(suf)]
+            break
+    else:
+        if lw.endswith("st") and in_r1(len(w) - 2) and len(w) >= 6 \
+                and lw[-3] in _DE_ST_END:
+            w = w[:-2]
+
+    # step 3 (d-suffixes)
+    lw = w.lower()
+    if lw.endswith(("end", "ung")):
+        if in_r2(len(w) - 3):
+            w = w[:-3]
+            lw = w.lower()
+            if lw.endswith("ig") and in_r2(len(w) - 2) and \
+                    not lw.endswith("eig"):
+                w = w[:-2]
+    elif lw.endswith(("isch",)):
+        if in_r2(len(w) - 4) and not lw.endswith("eisch"):
+            w = w[:-4]
+    elif lw.endswith(("ig", "ik")):
+        if in_r2(len(w) - 2) and not lw[-3:-2] == "e":
+            w = w[:-2]
+    elif lw.endswith(("lich", "heit")):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            lw = w.lower()
+            for pre in ("er", "en"):
+                if lw.endswith(pre) and in_r1(len(w) - 2):
+                    w = w[:-2]
+                    break
+    elif lw.endswith("keit"):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            lw = w.lower()
+            if lw.endswith("lich") and in_r2(len(w) - 4):
+                w = w[:-4]
+            elif lw.endswith("ig") and in_r2(len(w) - 2):
+                w = w[:-2]
+
+    w = w.lower()
+    return (w.replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+
+
+# ---------------------------------------------------------------------------
+# Russian
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+
+_RU_PGERUND_1 = ("вшись", "вши", "в")
+_RU_PGERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = ("ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие",
+                 "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым",
+                 "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+_RU_PART_1 = ("ем", "нн", "вш", "ющ", "щ")
+_RU_PART_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = ("ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло",
+              "но", "ет", "ют", "ны", "ть", "й", "л", "н")
+_RU_VERB_2 = ("ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли",
+              "ило", "ыло", "ено", "ует", "уют", "ены", "ить", "ыть",
+              "ишь", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят",
+              "ит", "ыт", "ую", "ю")
+_RU_NOUN = ("иями", "ями", "ами", "ией", "иям", "ием", "иях", "ия",
+            "ьях"[:0] or "ев",  # placeholder keeps tuple literal simple
+            "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем",
+            "ам", "ом", "ах", "ях", "ию", "ью", "ья", "а", "е", "и",
+            "й", "о", "у", "ы", "ь", "ю", "я")
+
+
+def _ru_longest(word: str, sufs, rv: int, py_group: bool = False):
+    """Longest suffix of `word` from sufs fully inside RV; for group-1
+    endings the match must be preceded by а/я (which stays)."""
+    best = None
+    for s in sufs:
+        if word.endswith(s) and len(word) - len(s) >= rv:
+            if py_group:
+                i = len(word) - len(s) - 1
+                if i < 0 or word[i] not in "ая" or i < rv - 1:
+                    # preceding а/я must exist (it may sit just before RV?
+                    # spec: the а/я is part of the RV match)
+                    if i < 0 or word[i] not in "ая" or i < rv:
+                        continue
+            if best is None or len(s) > len(best):
+                best = s
+    return best
+
+
+@lru_cache(maxsize=65536)
+def russian_stem(word: str) -> str:
+    w = word.replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+
+    def drop(s: str):
+        nonlocal w
+        w = w[:-len(s)]
+
+    # step 1: perfective gerund, else [reflexive] adjectival | verb | noun
+    g2 = _ru_longest(w, _RU_PGERUND_2, rv)
+    g1 = _ru_longest(w, _RU_PGERUND_1, rv, py_group=True)
+    if g2 or g1:
+        drop(g2 if (g2 and (not g1 or len(g2) >= len(g1))) else g1)
+    else:
+        refl = _ru_longest(w, ("ся", "сь"), rv)
+        if refl:
+            drop(refl)
+        adj = _ru_longest(w, _RU_ADJECTIVE, rv)
+        if adj:
+            drop(adj)
+            p2 = _ru_longest(w, _RU_PART_2, rv)
+            p1 = _ru_longest(w, _RU_PART_1, rv, py_group=True)
+            if p2 or p1:
+                drop(p2 if (p2 and (not p1 or len(p2) >= len(p1))) else p1)
+        else:
+            v2 = _ru_longest(w, _RU_VERB_2, rv)
+            v1 = _ru_longest(w, _RU_VERB_1, rv, py_group=True)
+            if v2 or v1:
+                drop(v2 if (v2 and (not v1 or len(v2) >= len(v1))) else v1)
+            else:
+                nn = _ru_longest(w, _RU_NOUN, rv)
+                if nn:
+                    drop(nn)
+
+    # step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # step 3: derivational ость/ост in R2
+    r1, r2 = _standard_r1_r2(w, _RU_VOWELS)
+    for s in ("ость", "ост"):
+        if w.endswith(s) and len(w) - len(s) >= r2:
+            w = w[:-len(s)]
+            break
+
+    # step 4
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        sup = _ru_longest(w, ("ейше", "ейш"), rv)
+        if sup:
+            w = w[:-len(sup)]
+            if w.endswith("нн") and len(w) - 1 >= rv:
+                w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Spanish
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+            "me", "se", "la", "le", "lo")
+_ES_PRON_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRON_PRE_B = ("iendo", "ando", "ar", "er", "ir")
+
+_ES_STEP1_DELETE_R2 = (
+    "amientos", "imientos", "amiento", "imiento", "anzas", "ismos",
+    "ables", "ibles", "istas", "anza", "icos", "icas", "ismo", "able",
+    "ible", "ista", "osos", "osas", "ico", "ica", "oso", "osa")
+_ES_STEP1_ADOR = ("adoras", "adores", "aciones", "adora", "ación",
+                  "ador", "antes", "ancias", "ante", "ancia")
+_ES_STEP2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+    "aremos", "eríais", "eremos", "iríais", "iremos", "ierais",
+    "ieseis", "asteis", "isteis", "ábamos", "áramos", "ásemos",
+    "arían", "arías", "aréis", "erían", "erías", "eréis", "irían",
+    "irías", "iréis", "ieran", "iesen", "ieron", "iendo", "ieras",
+    "ieses", "abais", "arais", "aseis", "íamos", "arán", "arás",
+    "aría", "erán", "erás", "ería", "irán", "irás", "iría", "iera",
+    "iese", "aste", "iste", "aban", "aran", "asen", "aron", "ando",
+    "abas", "adas", "idas", "aras", "ases", "íais", "ados", "idos",
+    "amos", "imos", "ará", "aré", "erá", "eré", "irá", "iré", "aba",
+    "ada", "ida", "ara", "ase", "ían", "ado", "ido", "ías", "áis",
+    "éis", "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as",
+    "ís", "en", "es")
+_ES_STEP2A = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+              "yes", "ya", "ye", "yo", "yó")
+
+
+def _es_rv(word: str) -> int:
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in _ES_VOWELS:
+        # region after the next following vowel
+        for i in range(2, n):
+            if word[i] in _ES_VOWELS:
+                return i + 1
+        return n
+    if word[0] in _ES_VOWELS and word[1] in _ES_VOWELS:
+        # region after the next consonant
+        for i in range(2, n):
+            if word[i] not in _ES_VOWELS:
+                return i + 1
+        return n
+    return 3  # consonant-vowel start: after the third letter
+
+
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+@lru_cache(maxsize=65536)
+def spanish_stem(word: str) -> str:
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _standard_r1_r2(w, _ES_VOWELS)
+
+    def in_rv(pos): return pos >= rv
+    def in_r1(pos): return pos >= r1
+    def in_r2(pos): return pos >= r2
+
+    # step 0: attached pronoun
+    for p in _ES_PRON:
+        if not w.endswith(p):
+            continue
+        base = w[:-len(p)]
+        done = False
+        for pre in _ES_PRON_PRE_A:
+            if base.endswith(pre) and in_rv(len(base) - len(pre)):
+                w = base[:-len(pre)] + pre.translate(_ES_UNACCENT)
+                done = True
+                break
+        if not done:
+            for pre in _ES_PRON_PRE_B:
+                if base.endswith(pre) and in_rv(len(base) - len(pre)):
+                    w = base
+                    done = True
+                    break
+        if not done and base.endswith("yendo") and \
+                in_rv(len(base) - 5) and base[:-5].endswith("u"):
+            w = base
+            done = True
+        if done:
+            rv = _es_rv(w)
+            r1, r2 = _standard_r1_r2(w, _ES_VOWELS)
+        break
+
+    # step 1: standard suffixes (longest match governs)
+    step1_done = False
+
+    def try1() -> bool:
+        nonlocal w
+        cands = []
+        for s in _ES_STEP1_DELETE_R2:
+            if w.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "del"))
+        for s in _ES_STEP1_ADOR:
+            if w.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "ador"))
+        for s in ("logías", "logía"):
+            if w.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "log"))
+        for s in ("uciones", "ución"):
+            if w.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "u"))
+        for s in ("encias", "encia"):
+            if w.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "ente"))
+        if w.endswith("amente") and in_r1(len(w) - 6):
+            cands.append((6, "amente", "amente"))
+        elif w.endswith("mente") and in_r2(len(w) - 5):
+            cands.append((5, "mente", "mente"))
+        for s in ("idades", "idad"):
+            if w.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "idad"))
+        for s in ("ivas", "ivos", "iva", "ivo"):
+            if w.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "iv"))
+        if not cands:
+            return False
+        _, s, mode = max(cands, key=lambda c: c[0])
+        w = w[:-len(s)]
+        if mode == "ador":
+            if w.endswith("ic") and in_r2(len(w) - 2):
+                w = w[:-2]
+        elif mode == "log":
+            w += "log"
+        elif mode == "u":
+            w += "u"
+        elif mode == "ente":
+            w += "ente"
+        elif mode == "amente":
+            if w.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "ad"):
+                    if w.endswith(pre) and in_r2(len(w) - 2):
+                        w = w[:-2]
+                        break
+        elif mode == "mente":
+            for pre in ("ante", "able", "ible"):
+                if w.endswith(pre) and in_r2(len(w) - 4):
+                    w = w[:-4]
+                    break
+        elif mode == "idad":
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                    w = w[:-len(pre)]
+                    break
+        elif mode == "iv":
+            if w.endswith("at") and in_r2(len(w) - 2):
+                w = w[:-2]
+        return True
+
+    step1_done = try1()
+
+    if not step1_done:
+        # step 2a: verb suffixes beginning y (preceded by u)
+        done2a = False
+        for s in sorted(_ES_STEP2A, key=len, reverse=True):
+            if w.endswith(s) and in_rv(len(w) - len(s)) and \
+                    w[:-len(s)].endswith("u"):
+                w = w[:-len(s)]
+                done2a = True
+                break
+        if not done2a:
+            # step 2b
+            for s in _ES_STEP2B:
+                if w.endswith(s) and in_rv(len(w) - len(s)):
+                    w = w[:-len(s)]
+                    if s in ("en", "es", "éis", "emos") and \
+                            w.endswith("gu"):
+                        w = w[:-1]
+                    break
+
+    # step 3: residual
+    for s in ("os", "a", "o", "á", "í", "ó"):
+        if w.endswith(s) and in_rv(len(w) - len(s)):
+            w = w[:-len(s)]
+            break
+    else:
+        for s in ("e", "é"):
+            if w.endswith(s) and in_rv(len(w) - 1):
+                w = w[:-1]
+                if w.endswith("gu") and in_rv(len(w) - 1):
+                    w = w[:-1]
+                break
+
+    return w.translate(_ES_UNACCENT)
+
+
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+_FR_STEP1_R2_DEL = ("ances", "iqUes", "ismes", "ables", "istes", "ance",
+                    "iqUe", "isme", "able", "iste", "eux")
+_FR_ATEUR = ("atrices", "atrice", "ateurs", "ations", "ateur", "ation")
+_FR_STEP2A = ("issaIent", "issantes", "iraIent", "issante", "issants",
+              "issions", "irions", "issais", "issait", "issant",
+              "issent", "issiez", "issons", "irais", "irait", "irent",
+              "iriez", "irons", "iront", "isses", "issez", "îmes",
+              "îtes", "irai", "iras", "irez", "isse", "ies", "ira",
+              "ît", "ie", "ir", "is", "it", "i")
+_FR_STEP2B_ER = ("eraIent", "erions", "èrent", "erais", "erait",
+                 "eriez", "erons", "eront", "erai", "eras", "erez",
+                 "ées", "era", "iez", "ée", "és", "er", "ez", "é")
+_FR_STEP2B_A = ("assions", "assent", "assiez", "aIent", "antes",
+                "asses", "âmes", "âtes", "ante", "ants", "asse",
+                "ais", "ait", "ant", "ât", "ai", "as", "a")
+
+
+def _fr_mark(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+
+    def is_v(c): return c in _FR_VOWELS
+    for i in range(n):
+        c = chars[i]
+        if c in "ui" and 0 < i < n - 1 and is_v(word[i - 1]) \
+                and is_v(word[i + 1]):
+            chars[i] = c.upper()
+        elif c == "y" and ((i > 0 and is_v(word[i - 1]))
+                           or (i < n - 1 and is_v(word[i + 1]))):
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and word[i - 1] == "q":
+            chars[i] = "U"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    lw = w.lower()
+    if n >= 3 and (lw.startswith("par") or lw.startswith("col")
+                   or lw.startswith("tap")):
+        return 3
+    if n >= 2 and lw[0] in _FR_VOWELS and lw[1] in _FR_VOWELS:
+        return min(3, n)
+    for i in range(1, n):
+        if lw[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+@lru_cache(maxsize=65536)
+def french_stem(word: str) -> str:
+    w = _fr_mark(word)
+    rv = _fr_rv(w)
+    r1, r2 = _standard_r1_r2(w.lower(), _FR_VOWELS)
+
+    def in_rv(pos): return pos >= rv
+    def in_r1(pos): return pos >= r1
+    def in_r2(pos): return pos >= r2
+
+    changed1 = False
+    ment_found = False
+
+    def step1() -> bool:
+        nonlocal w, ment_found
+        lw = w.lower()
+        cands = []
+        for s in _FR_STEP1_R2_DEL:
+            if lw.endswith(s.lower()) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "del_r2"))
+        for s in _FR_ATEUR:
+            if lw.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "ateur"))
+        for s in ("logies", "logie"):
+            if lw.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "log"))
+        for s in ("usions", "utions", "usion", "ution"):
+            if lw.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "u"))
+        for s in ("ences", "ence"):
+            if lw.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "ent"))
+        for s in ("ements", "ement"):
+            if lw.endswith(s) and in_rv(len(w) - len(s)):
+                cands.append((len(s), s, "ement"))
+        for s in ("ités", "ité"):
+            if lw.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "ite"))
+        for s in ("ives", "ifs", "ive", "if"):
+            if lw.endswith(s) and in_r2(len(w) - len(s)):
+                cands.append((len(s), s, "if"))
+        if lw.endswith("eaux"):
+            cands.append((4, "eaux", "eaux"))
+        elif lw.endswith("aux") and in_r1(len(w) - 3):
+            cands.append((3, "aux", "aux"))
+        for s in ("euses", "euse"):
+            if lw.endswith(s):
+                if in_r2(len(w) - len(s)):
+                    cands.append((len(s), s, "del_r2"))
+                elif in_r1(len(w) - len(s)):
+                    cands.append((len(s), s, "eux"))
+        for s in ("issements", "issement"):
+            if lw.endswith(s) and in_r1(len(w) - len(s)) and \
+                    len(w) > len(s) and \
+                    lw[len(w) - len(s) - 1] not in _FR_VOWELS:
+                cands.append((len(s), s, "del"))
+        if lw.endswith("amment") and in_rv(len(w) - 6):
+            cands.append((6, "amment", "ant"))
+        if lw.endswith("emment") and in_rv(len(w) - 6):
+            cands.append((6, "emment", "ent"))
+        for s in ("ments", "ment"):
+            i = len(w) - len(s)
+            if lw.endswith(s) and i >= 1 and lw[i - 1] in _FR_VOWELS \
+                    and in_rv(i - 1):
+                cands.append((len(s), s, "ment"))
+        if not cands:
+            return False
+        _, s, mode = max(cands, key=lambda c: c[0])
+        if mode in ("ment",):
+            ment_found = True
+        if mode in ("amment",):
+            pass
+        base = w[:-len(s)]
+        lw = base.lower()
+        if mode in ("del_r2", "del", "ment"):
+            w = base
+        elif mode == "ateur":
+            w = base
+            if w.lower().endswith("ic"):
+                if in_r2(len(w) - 2):
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+        elif mode == "log":
+            w = base + "log"
+        elif mode == "u":
+            w = base + "u"
+        elif mode == "ent":
+            w = base + "ent"
+        elif mode == "ement":
+            w = base
+            lw = w.lower()
+            if lw.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.lower().endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            elif lw.endswith("eus"):
+                if in_r2(len(w) - 3):
+                    w = w[:-3]
+                elif in_r1(len(w) - 3):
+                    w = w[:-3] + "eux"
+            elif lw.endswith("abl") and in_r2(len(w) - 3):
+                w = w[:-3]
+            elif lw.endswith("iqu") and in_r2(len(w) - 3):
+                w = w[:-3]
+            elif lw.endswith("ièr") and in_rv(len(w) - 3):
+                w = w[:-3] + "i"
+            elif lw.endswith("ier") and w.endswith("Ièr") and \
+                    in_rv(len(w) - 3):
+                w = w[:-3] + "i"
+        elif mode == "ite":
+            w = base
+            lw = w.lower()
+            if lw.endswith("abil"):
+                if in_r2(len(w) - 4):
+                    w = w[:-4]
+                else:
+                    w = w[:-4] + "abl"
+            elif lw.endswith("ic"):
+                if in_r2(len(w) - 2):
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+            elif lw.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+        elif mode == "if":
+            w = base
+            if w.lower().endswith("at") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.lower().endswith("ic"):
+                    if in_r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif mode == "eaux":
+            w = base + "eau"
+        elif mode == "aux":
+            w = base + "al"
+        elif mode == "eux":
+            w = base + "eux"
+        elif mode == "ant":
+            w = base + "ant"
+        return True
+
+    before1 = w
+    did1 = step1()
+    changed1 = (w != before1)
+
+    did2 = False
+    if (not did1) or ment_found:
+        # step 2a: i-verb suffixes, preceded by a non-vowel in RV
+        before = w
+        lw = w.lower()
+        for s in _FR_STEP2A:
+            sl = s.lower()
+            i = len(w) - len(s)
+            if lw.endswith(sl) and in_rv(i) and i >= 1 \
+                    and lw[i - 1] not in _FR_VOWELS and in_rv(i - 1):
+                w = w[:-len(s)]
+                break
+        did2a_removed = (w != before)
+        if not did2a_removed:
+            # step 2b: LONGEST match across all suffix groups
+            lw = w.lower()
+            cands = []
+            if lw.endswith("ions") and in_r2(len(w) - 4) \
+                    and in_rv(len(w) - 4):
+                cands.append((4, "ions", "er"))
+            for s in _FR_STEP2B_ER:
+                if lw.endswith(s.lower()) and in_rv(len(w) - len(s)):
+                    cands.append((len(s), s, "er"))
+            for s in _FR_STEP2B_A:
+                if lw.endswith(s.lower()) and in_rv(len(w) - len(s)):
+                    cands.append((len(s), s, "a"))
+            if cands:
+                _, s, mode = max(cands, key=lambda c: c[0])
+                w = w[:-len(s)]
+                if mode == "a" and w.lower().endswith("e") \
+                        and in_rv(len(w) - 1):
+                    w = w[:-1]
+        did2 = (w != before)
+
+    last_changed = did2 if ((not did1) or ment_found) else changed1
+    if last_changed:
+        # step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4
+        lw = w.lower()
+        if lw.endswith("s") and len(w) >= 2 and \
+                lw[-2] not in "aiouès" and w[-2] != "I":
+            w = w[:-1]
+            lw = w.lower()
+        if lw.endswith("ion") and in_r2(len(w) - 3) and len(w) >= 4 \
+                and lw[-4] in "st":
+            w = w[:-3]
+        else:
+            for s, rep in (("ière", "i"), ("ier", "i")):
+                if lw.endswith(s) and in_rv(len(w) - len(s)):
+                    w = w[:-len(s)] + rep
+                    break
+            else:
+                if w.endswith(("Ière", "Ier")):
+                    w = w[:w.rindex("I")] + "i"
+                elif lw.endswith("e") and in_rv(len(w) - 1):
+                    w = w[:-1]
+                elif lw.endswith("guë") and in_rv(len(w) - 1):
+                    w = w[:-1]
+
+    # step 5: undouble
+    for s in ("enn", "onn", "ett", "ell", "eill"):
+        if w.lower().endswith(s):
+            w = w[:-1]
+            break
+
+    # step 6: un-accent final é/è + non-vowels
+    i = len(w) - 1
+    while i >= 0 and w[i].lower() not in _FR_VOWELS:
+        i -= 1
+    if i >= 0 and i < len(w) - 1 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    return w.lower()
+
+
+LANGUAGE_STEMMERS = {
+    "german": german_stem,
+    "de": german_stem,
+    "french": french_stem,
+    "fr": french_stem,
+    "spanish": spanish_stem,
+    "es": spanish_stem,
+    "russian": russian_stem,
+    "ru": russian_stem,
+}

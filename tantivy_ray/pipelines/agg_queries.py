@@ -245,7 +245,67 @@ WHERE rank < 2
 """
 
 
+# composite (paginated multi-source buckets; reference
+# src/aggregation/bucket/composite/mod.rs:201) ---------------------------
+
+COMPOSITE_PAGE = 4
+
+
+def q_agg_composite_events(sf_dir: str) -> pa.Table:
+    """Composite agg over (event_type, value-histogram) with after-key
+    pagination: walk ALL pages (page size 4) and emit every bucket with
+    its page number — exercising the after-key resume path end to end."""
+    rows = []
+    after = None
+    page = 0
+    while True:
+        ds = _read(sf_dir, "events", ["event_type", "value"])
+        body = {
+            "size": COMPOSITE_PAGE,
+            "sources": [
+                {"etype": {"terms": {"field": "event_type"}}},
+                {"vb": {"histogram": {"field": "value", "interval": 20}}},
+            ],
+        }
+        if after is not None:
+            body["after"] = after
+        res = run_aggregations(ds, {
+            "c": {"composite": body,
+                  "aggs": {"s": {"sum": {"field": "value"}}}}
+        })["c"]
+        for b in res["buckets"]:
+            rows.append({
+                "page": page,
+                "etype": b["key"]["etype"],
+                "vb": b["key"]["vb"],
+                "doc_count": b["doc_count"],
+                "sum_value": round(b["s"]["value"], 6),
+            })
+        if len(res["buckets"]) < COMPOSITE_PAGE:
+            break
+        after = res["after_key"]
+        page += 1
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+SQL_AGG_COMPOSITE_EVENTS = f"""
+WITH b AS (
+  SELECT event_type AS etype,
+         floor(value / 20) * 20 AS vb,
+         count(*) AS doc_count,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2),
+o AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY etype ASC, vb ASC) - 1 AS rn
+  FROM b)
+SELECT CAST(rn // {COMPOSITE_PAGE} AS BIGINT) AS page,
+       etype, vb, doc_count, sum_value
+FROM o
+"""
+
+
 AGG_QUERIES: Dict = {
+    "agg_composite_events": q_agg_composite_events,
     "agg_top_hits": q_agg_top_hits,
     "agg_cardinality_users": q_agg_cardinality_users,
     "agg_percentiles_value": q_agg_percentiles_value,
@@ -258,6 +318,7 @@ AGG_QUERIES: Dict = {
 }
 
 AGG_ORACLE_SQL: Dict[str, str] = {
+    "agg_composite_events": SQL_AGG_COMPOSITE_EVENTS,
     "agg_top_hits": SQL_AGG_TOP_HITS,
     "agg_stats_by_returnflag": SQL_AGG_STATS_BY_RETURNFLAG,
     "agg_histogram_orders": SQL_AGG_HISTOGRAM_ORDERS,

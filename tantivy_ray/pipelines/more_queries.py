@@ -565,7 +565,56 @@ def q_stemmed_doc_freqs(sf_dir: str) -> pa.Table:
     })
 
 
+def q_stemmed_doc_freqs_multilang(sf_dir: str) -> pa.Table:
+    """Rows-only: per (lang, term) doc_freq with LANG-ROUTED analyzers —
+    each document is stemmed by its own language's Snowball chain
+    (de/fr/es via snowball_langs.py, en via Porter2, other langs fall
+    back to `default`), mirroring the reference's per-language Stemmer
+    registration (src/tokenizer/stemmer.rs:63-120).  Deterministic, not
+    SQL-expressible."""
+    import ray.data as rd
+
+    from ..analyzer import analyze_batch, analyzer_for_lang
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        rows_lang, rows_term, rows_df = [], [], []
+        import numpy as _np
+        import pandas as _pd
+
+        for lang in sorted(set(langs)):
+            idx = [i for i, l in enumerate(langs) if l == lang]
+            sub = batch.take(idx)
+            out = analyze_batch(sub.column("text"), analyzer_for_lang(lang))
+            flat = out.tokens.values.to_pandas()
+            docs = _np.repeat(_np.arange(len(sub), dtype=_np.int64),
+                              out.num_tokens)
+            df = _pd.DataFrame({"term": flat, "doc": docs}).drop_duplicates()
+            part = df.groupby("term", sort=False).size()
+            rows_lang.extend([lang] * len(part))
+            rows_term.extend(part.index.tolist())
+            rows_df.extend(int(v) for v in part.values)
+        return pa.table({
+            "lang": pa.array(rows_lang, type=pa.string()),
+            "term": pa.array(rows_term, type=pa.string()),
+            "df_part": pa.array(rows_df, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+           .groupby(["lang", "term"])
+           .aggregate(Sum("df_part", alias_name="doc_freq")))
+    pdf = agg.to_pandas().sort_values(["lang", "term"]).reset_index(drop=True)
+    pdf["doc_freq"] = pdf["doc_freq"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 MORE_QUERIES: Dict = {
+    "stemmed_doc_freqs_multilang": q_stemmed_doc_freqs_multilang,
     "fuzzy_match_count": q_fuzzy_match_count,
     "regex_match_count": q_regex_match_count,
     "stemmed_doc_freqs": q_stemmed_doc_freqs,

@@ -157,6 +157,88 @@ class TestBuckets:
         assert finalize(aggs, fwd) == finalize(aggs, rev) == {
             "t": {"hits": [{"name": n} for n in results[0]]}}
 
+    def test_composite_pagination(self):
+        data = {
+            "cat": np.array(list("abcab" * 200)),
+            "v": np.arange(1000, dtype=np.float64) % 50,
+        }
+        aggs = {"c": {"composite": {
+            "size": 3,
+            "sources": [{"cat": {"terms": {"field": "cat"}}},
+                        {"vb": {"histogram": {"field": "v",
+                                              "interval": 25}}}],
+        }, "aggs": {"s": {"sum": {"field": "v"}}}}}
+        res = run_local(aggs, split_batches(data, 4))["c"]
+        keys = [(b["key"]["cat"], b["key"]["vb"]) for b in res["buckets"]]
+        assert keys == [("a", 0.0), ("a", 25.0), ("b", 0.0)]
+        assert res["after_key"] == {"cat": "b", "vb": 0.0}
+        # page 2 via after
+        aggs["c"]["composite"]["after"] = res["after_key"]
+        res2 = run_local(aggs, split_batches(data, 4))["c"]
+        keys2 = [(b["key"]["cat"], b["key"]["vb"]) for b in res2["buckets"]]
+        assert keys2 == [("b", 25.0), ("c", 0.0), ("c", 25.0)]
+        # doc counts exact: every (cat, bucket) partition sums to 1000
+        total = sum(b["doc_count"] for b in res["buckets"] + res2["buckets"])
+        assert total == 1000
+        # sub-agg value check on one bucket
+        m = (data["cat"] == "a") & (data["v"] < 25)
+        assert res["buckets"][0]["s"]["value"] == pytest.approx(
+            data["v"][m].sum())
+
+    def test_composite_desc_order(self):
+        data = {"cat": np.array(list("abc") * 10)}
+        aggs = {"c": {"composite": {
+            "size": 2,
+            "sources": [{"cat": {"terms": {"field": "cat",
+                                           "order": "desc"}}}],
+        }}}
+        res = run_local(aggs, split_batches(data, 2))["c"]
+        assert [b["key"]["cat"] for b in res["buckets"]] == ["c", "b"]
+        aggs["c"]["composite"]["after"] = res["after_key"]
+        res2 = run_local(aggs, split_batches(data, 2))["c"]
+        assert [b["key"]["cat"] for b in res2["buckets"]] == ["a"]
+
+    def test_terms_doc_count_error_bounds(self):
+        # shard A: x=30, y=20, z=10; shard B: z=25, w=15, y=5
+        a = {"cat": np.array(["x"] * 30 + ["y"] * 20 + ["z"] * 10)}
+        b = {"cat": np.array(["z"] * 25 + ["w"] * 15 + ["y"] * 5)}
+        aggs = {"t": {"terms": {"field": "cat", "size": 4, "shard_size": 2,
+                                "show_term_doc_count_error": True}}}
+        res = run_local(aggs, [a, b])["t"]
+        got = {bk["key"]: bk for bk in res["buckets"]}
+        # shard A keeps x,y (min_kept 20); shard B keeps z,w (min_kept 15)
+        assert res["doc_count_error_upper_bound"] == 35
+        assert got["x"]["doc_count_error_upper_bound"] == 15  # missing in B
+        assert got["z"]["doc_count_error_upper_bound"] == 20  # missing in A
+        # y was truncated away on shard B: reported count misses B's 5
+        assert got["y"]["doc_count"] == 20
+
+    def test_histogram_extended_and_hard_bounds(self):
+        data = {"v": np.array([12.0, 14.0, 38.0])}
+        aggs = {"h": {"histogram": {"field": "v", "interval": 10,
+                                    "extended_bounds": {"min": 0,
+                                                        "max": 50}}}}
+        res = run_local(aggs, [data])["h"]["buckets"]
+        assert [b["key"] for b in res] == [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+        assert [b["doc_count"] for b in res] == [0, 2, 0, 1, 0, 0]
+        aggs = {"h": {"histogram": {"field": "v", "interval": 10,
+                                    "min_doc_count": 0,
+                                    "hard_bounds": {"min": 10,
+                                                    "max": 25}}}}
+        res = run_local(aggs, [data])["h"]["buckets"]
+        assert [b["key"] for b in res] == [10.0, 20.0]
+        assert [b["doc_count"] for b in res] == [2, 0]
+
+    def test_limits_guard(self):
+        from tantivy_ray.aggregations import (AggregationLimitsError,
+                                              check_limits)
+        data = {"k": np.arange(5000).astype(str)}
+        aggs = {"t": {"terms": {"field": "k", "size": 10}}}
+        p = compute_partial(aggs, data)
+        with pytest.raises(AggregationLimitsError):
+            check_limits(p, max_buckets=1000)
+        check_limits(p, max_buckets=10000)  # under budget: no raise
+
     def test_terms_many_uniques_matches_bincount(self):
         # unique+bincount partial: counts identical to a naive groupby
         rs = np.random.RandomState(3)

@@ -121,11 +121,17 @@ class TestAnn:
                        for v in rows.column("embedding").to_pylist()])
         return qids, qm
 
-    def test_ivf_recall_vs_brute(self, emb_ds):
+    def test_ivf_recall_vs_brute(self, emb_ds, tmp_path_factory):
         qids, qm = self._queries()
         brute = brute_force_cosine_topk(
             emb_ds, qids, qm, k=10, exclude_ids=set(qids.tolist()))
-        ivf = IvfIndex.build(emb_ds, n_lists=8, seed=11)
+        store = str(tmp_path_factory.mktemp("ivf"))
+        ivf = IvfIndex.build(emb_ds, store, n_lists=8, seed=11)
+        # storage is centroid-partitioned parquet; reopen works
+        import os
+
+        assert any(d.startswith("centroid=") for d in os.listdir(store))
+        ivf = IvfIndex.open(store)
         bp = brute.to_pandas()
         total, hit = 0, 0
         for qi, q in zip(qids, qm):

@@ -1,0 +1,91 @@
+"""Per-language Snowball stemmers (analyzer/snowball_langs.py).
+
+Vectors hand-derived from the published Snowball algorithm descriptions
+(snowballstem.org), the algorithms the reference applies via
+rust-stemmers (src/tokenizer/stemmer.rs:63-120)."""
+
+import pytest
+
+from tantivy_ray.analyzer import analyzer_for_lang, get_analyzer
+from tantivy_ray.analyzer.snowball_langs import (
+    french_stem,
+    german_stem,
+    russian_stem,
+    spanish_stem,
+)
+
+
+class TestGerman:
+    @pytest.mark.parametrize("word,stem", [
+        ("kinder", "kind"), ("kindern", "kind"), ("kindes", "kind"),
+        ("häuser", "haus"), ("grössen", "gross"), ("größen", "gross"),
+        ("verhältnisse", "verhaltnis"), ("schönheit", "schonheit"),
+        ("aufgabe", "aufgab"), ("möglichkeit", "moglich"),
+        ("arbeitet", "arbeitet"), ("bei", "bei"),
+    ])
+    def test_vectors(self, word, stem):
+        assert german_stem(word) == stem
+
+    def test_niss_rule(self):
+        # group (b) deletion preceded by niss drops the extra s
+        assert german_stem("ergebnisse") == "ergebnis"
+
+
+class TestFrench:
+    @pytest.mark.parametrize("word,stem", [
+        ("parler", "parl"), ("parlaient", "parl"), ("jouer", "jou"),
+        ("continuité", "continu"), ("majestueux", "majestu"),
+        ("nationaux", "national"), ("continu", "continu"),
+        ("chanterions", "chant"),
+    ])
+    def test_vectors(self, word, stem):
+        assert french_stem(word) == stem
+
+    def test_undouble(self):
+        # step 5: enn/onn/ett/ell/eill undouble
+        assert french_stem("personnelle").endswith("el")
+
+
+class TestSpanish:
+    @pytest.mark.parametrize("word,stem", [
+        ("canciones", "cancion"), ("comiendo", "com"),
+        ("trabajando", "trabaj"), ("rápidamente", "rapid"),
+        ("nacionalidad", "nacional"), ("libro", "libr"),
+        ("cantaríamos", "cant"),
+    ])
+    def test_vectors(self, word, stem):
+        assert spanish_stem(word) == stem
+
+    def test_accent_removal(self):
+        assert "á" not in spanish_stem("análisis")
+
+
+class TestRussian:
+    @pytest.mark.parametrize("word,stem", [
+        ("книгами", "книг"), ("делать", "дела"), ("красивый", "красив"),
+        ("читая", "чит"), ("возможность", "возможн"),
+        ("женщинами", "женщин"),
+    ])
+    def test_vectors(self, word, stem):
+        assert russian_stem(word) == stem
+
+    def test_yo_normalization(self):
+        assert russian_stem("всё") == russian_stem("все")
+
+
+class TestRouting:
+    def test_lang_routed_analyzers_registered(self):
+        for code in ("de", "fr", "es", "ru"):
+            name = analyzer_for_lang(code)
+            assert name == f"{code}_stem"
+            get_analyzer(name)  # registered
+        assert analyzer_for_lang("zh") == "default"
+        assert analyzer_for_lang("en") == "en_stem"
+
+    def test_chain_applies_language_stemmer(self):
+        a = get_analyzer("de_stem")
+        assert [t.text for t in a.analyze("Häuser und Kinder")] == \
+            ["haus", "und", "kind"]
+        a = get_analyzer("es_stem")
+        assert [t.text for t in a.analyze("Canciones rápidamente")] == \
+            ["cancion", "rapid"]
