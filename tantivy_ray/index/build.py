@@ -104,7 +104,8 @@ class BuildSegmentTask:
     def __init__(self, index_dir: str, text_col: str, id_col: str,
                  analyzer: str, record_positions: bool, columns: List[str],
                  fast_fields: Optional[List[str]] = None,
-                 extra_text_fields: Optional[Dict[str, str]] = None):
+                 extra_text_fields: Optional[Dict[str, str]] = None,
+                 sort_by=None):
         self.index_dir = index_dir
         self.text_col = text_col
         self.id_col = id_col
@@ -113,6 +114,7 @@ class BuildSegmentTask:
         self.columns = columns
         self.fast_fields = fast_fields or []
         self.extra_text_fields = extra_text_fields or {}
+        self.sort_by = sort_by
 
     def build_one(self, part: Dict) -> Dict:
         part = _to_py(part)
@@ -150,6 +152,7 @@ class BuildSegmentTask:
             lineage=lineage,
             fast_fields=self.fast_fields,
             extra_text_fields=self.extra_text_fields,
+            sort_by=self.sort_by,
         )
 
     def __call__(self, batch: Dict) -> Dict:
@@ -185,6 +188,7 @@ def build_index(
     resume: bool = True,
     fast_fields: Optional[List[str]] = None,
     extra_text_fields: Optional[Dict[str, str]] = None,
+    sort_by=None,
 ) -> IndexManifest:
     """Build (or resume) an index over parquet inputs with Ray Data.
 
@@ -206,9 +210,11 @@ def build_index(
         task = BuildSegmentTask(
             index_dir, text_col, id_col, analyzer, record_positions,
             columns=sorted({id_col, text_col, *(fast_fields or []),
-                            *(extra_text_fields or {})}),
+                            *(extra_text_fields or {}),
+                            *((sort_by[0],) if sort_by else ())}),
             fast_fields=fast_fields,
             extra_text_fields=extra_text_fields,
+            sort_by=sort_by,
         )
         ds = rd.from_items(
             [

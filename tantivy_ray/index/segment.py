@@ -61,8 +61,17 @@ def build_segment_from_table(
     lineage: Optional[Dict] = None,
     fast_fields: Optional[List[str]] = None,
     extra_text_fields: Optional[Dict[str, str]] = None,
+    sort_by: Optional[tuple] = None,
 ) -> Dict:
     """Tokenize + invert one partition and serialize the segment.
+
+    ``sort_by=(field, "asc"|"desc")`` applies the reference's segment
+    sort (index_meta.rs IndexSettings::sort_by_field + the DocIdMapping
+    of doc_id_mapping.rs:14): doc ids are assigned in sorted field order
+    at serialization — here by stably sorting the input table before
+    inversion, which yields the identical mapping for a fresh build.
+    Postings, fieldnorms, fast fields and the doc store all follow the
+    remapped ids; the sort is recorded in meta.json.
 
     ``extra_text_fields`` maps additional column names to analyzers
     (tantivy's multi-field schema, SURVEY §1.1): their terms are stored
@@ -76,6 +85,11 @@ def build_segment_from_table(
     directory without meta.json is treated as absent and rebuilt).
     """
     t0 = time.time()
+    if sort_by is not None:
+        sfield, sorder = sort_by
+        order = ("ascending" if sorder in ("asc", "ascending")
+                 else "descending")
+        table = table.sort_by([(sfield, order)])  # arrow sort is stable
     num_docs = table.num_rows
     analyzed = analyze_batch(
         table.column(text_col), analyzer, with_positions=record_positions
@@ -288,6 +302,7 @@ def build_segment_from_table(
         "num_terms": len(term_table),
         "analyzer": analyzer,
         "record_positions": record_positions,
+        "sort_by": list(sort_by) if sort_by is not None else None,
         "field_stats": field_tokens,  # extra fields: {name: num_tokens}
         "lineage": lineage or {},
         "metrics": {
@@ -413,6 +428,32 @@ class SegmentReader:
         """Sorted Arrow term array — the implicit-trie view used by
         automaton intersection (search/automaton.py); zero-copy."""
         return self._terms_arr
+
+    def term_stats_table(self) -> pa.Table:
+        """(term, doc_freq) as Arrow — zero-copy vocabulary stats (no
+        per-term python lookups for full-vocab consumers)."""
+        return pa.table({
+            "term": self._terms_arr,
+            "doc_freq": pa.array(self._doc_freq.astype(np.int64)),
+        })
+
+    def term_prefix_range(self, prefix: str) -> tuple:
+        """[lo, hi) term ordinals whose terms start with ``prefix``
+        (binary search over the sorted dict — O(log V) scalar reads)."""
+        def bisect(key: str) -> int:
+            lo, hi = 0, len(self._terms_arr)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if self._terms_arr[mid].as_py() < key:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            return lo
+
+        lo = bisect(prefix)
+        hi = bisect(prefix[:-1] + chr(ord(prefix[-1]) + 1)) if prefix \
+            else len(self._terms_arr)
+        return lo, hi
 
     def postings_reader(self, term: str) -> Optional[TermPostingsReader]:
         o = self.term_ord(term)

@@ -383,11 +383,16 @@ def q_json_term_df(sf_dir: str) -> pa.Table:
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_json_index(sf_dir, idx)
     s = IndexSearcher(idx)
-    rows = [(t, s.doc_freq(t)) for r in s.readers for t in r.terms()]
-    rows.sort()
+    # vectorized vocab stats: per-segment Arrow (term, doc_freq) tables
+    # summed with one groupby — no per-term python lookups
+    import pyarrow.compute as _pc
+
+    merged = pa.concat_tables([r.term_stats_table() for r in s.readers])
+    grouped = merged.group_by("term").aggregate([("doc_freq", "sum")])
+    grouped = grouped.sort_by("term")
     return pa.table({
-        "term": pa.array([r[0] for r in rows], type=pa.string()),
-        "doc_freq": pa.array([r[1] for r in rows], type=pa.int64()),
+        "term": grouped.column("term").cast(pa.string()),
+        "doc_freq": grouped.column("doc_freq_sum").cast(pa.int64()),
     })
 
 
@@ -418,9 +423,13 @@ def q_field_scoped_counts(sf_dir: str) -> pa.Table:
             extra_text_fields={"source": "raw", "lang": "raw"},
         )
     s = IndexSearcher(idx)
-    sources = sorted({t.split("\x00", 1)[1]
-                      for r in s.readers for t in r.terms()
-                      if t.startswith("source\x00")})
+    # prefix-range bisect over the sorted dict (O(log V) probes per
+    # segment) instead of scanning the full vocabulary
+    sources = sorted({
+        t.as_py().split("\x00", 1)[1]
+        for r in s.readers
+        for t in r.term_array()[slice(*r.term_prefix_range("source\x00"))]
+    })
     rows = [(src, count_query(s.readers, TermQuery(src, field="source"),
                               s.total_num_docs, s.average_fieldnorm,
                               s.doc_freq))
@@ -558,10 +567,12 @@ def q_stemmed_doc_freqs(sf_dir: str) -> pa.Table:
                     text_col="text", id_col="doc_id", analyzer="en_stem",
                     docs_per_segment=50_000)
     s = IndexSearcher(idx)
-    rows = sorted((t, s.doc_freq(t)) for r in s.readers for t in r.terms())
+    merged = pa.concat_tables([r.term_stats_table() for r in s.readers])
+    grouped = merged.group_by("term").aggregate([("doc_freq", "sum")])
+    grouped = grouped.sort_by("term")
     return pa.table({
-        "term": pa.array([r[0] for r in rows], type=pa.string()),
-        "doc_freq": pa.array([r[1] for r in rows], type=pa.int64()),
+        "term": grouped.column("term").cast(pa.string()),
+        "doc_freq": grouped.column("doc_freq_sum").cast(pa.int64()),
     })
 
 

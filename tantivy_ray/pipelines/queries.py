@@ -149,10 +149,40 @@ SQL_CORPUS_STATS = (
 # ----------------------------------------------------------------------
 
 def q_top_terms(sf_dir: str, n: int = 20) -> pa.Table:
-    t = q_term_doc_freqs(sf_dir).to_pandas()
-    t = t.sort_values(["doc_freq", "term"], ascending=[False, True]).head(n)
+    """Top-N terms by doc_freq: per-partition top-N inside map_batches,
+    then a (blocks x N)-row driver merge — the full vocabulary is never
+    sorted on (or shipped to) the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = analyze_batch(batch.column("text"), "default")
+        flat = out.tokens.values.to_pandas()
+        docs = np.repeat(np.arange(len(batch), dtype=np.int64),
+                         out.num_tokens)
+        df = pd.DataFrame({"term": flat, "doc": docs}).drop_duplicates()
+        part = df.groupby("term", sort=False).size().reset_index(name="df_part")
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+           .groupby("term").aggregate(Sum("df_part", alias_name="doc_freq")))
+
+    def topn_block(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pdf = pdf.sort_values(["doc_freq", "term"],
+                              ascending=[False, True]).head(n)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    cand = agg.map_batches(topn_block, batch_size=None,
+                           batch_format="pyarrow", **remote_args()).to_pandas()
+    t = cand.sort_values(["doc_freq", "term"],
+                         ascending=[False, True]).head(n)
+    t = t.reset_index(drop=True)
+    t["doc_freq"] = t["doc_freq"].astype("int64")
     t["rank"] = np.arange(len(t), dtype=np.int64)
-    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+    return pa.Table.from_pandas(t, preserve_index=False)
 
 
 SQL_TOP_TERMS = (
@@ -437,6 +467,38 @@ SQL_FACET_COUNTS = (
 )
 
 
+def q_facet_subtree(sf_dir: str) -> pa.Table:
+    """Hierarchical FacetCollector (reference facet_collector.rs:183-425):
+    documents carry the facet path /<lang>/<source>; for each queried
+    root the collector counts the IMMEDIATE children in its subtree —
+    root "/" buckets by language, root "/en" by source within English."""
+    from ..search.facets import facet_child_counts
+
+    ds = _read_docs(sf_dir, ["lang", "source"])
+
+    def add_path(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        path = pc.binary_join_element_wise(
+            "", batch.column("lang"), batch.column("source"), "/")
+        return pa.table({"facet": path})
+
+    paths = ds.map_batches(add_path, batch_format="pyarrow",
+                           **remote_args())
+    return facet_child_counts(paths, "facet", ["/", "/en", "/de"])
+
+
+SQL_FACET_SUBTREE = """
+SELECT root, child, CAST(count(*) AS BIGINT) AS doc_count FROM (
+  SELECT '/' AS root, '/' || lang AS child FROM documents
+  UNION ALL
+  SELECT '/en/', '/en/' || source FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT '/de/', '/de/' || source FROM documents WHERE lang = 'de'
+) GROUP BY root, child
+"""
+
+
 # ----------------------------------------------------------------------
 # 11. ANN cosine top-k over embeddings (similarity-search baseline)
 # ----------------------------------------------------------------------
@@ -610,6 +672,7 @@ QUERIES: Dict = {
     "quality": q_quality,
     "histogram_len": q_histogram_len,
     "facet_counts": q_facet_counts,
+    "facet_subtree": q_facet_subtree,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ivf_recall": q_ivf_recall,
     **AGG_QUERIES,
@@ -630,6 +693,7 @@ ORACLE_SQL: Dict[str, str] = {
     "quality": SQL_QUALITY,
     "histogram_len": SQL_HISTOGRAM_LEN,
     "facet_counts": SQL_FACET_COUNTS,
+    "facet_subtree": SQL_FACET_SUBTREE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ivf_recall": SQL_IVF_RECALL,
     **AGG_ORACLE_SQL,

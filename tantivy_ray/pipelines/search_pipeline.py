@@ -76,6 +76,66 @@ class SearcherActor:
         })
 
 
+class MultiShardSearcherActor:
+    """Single-pool scatter-gather for ``num_shards >> pool size``: one
+    actor pool serves a (query x shard) PRODUCT Dataset — each row names
+    its shard, the actor opens that shard's searcher on demand and keeps
+    a small bounded cache.  The product stream is ordered shard-major,
+    so consecutive batches hit the same shard and an actor holds O(1)
+    shards of state instead of one pool per shard (round-1 topology,
+    untenable at hundreds of shards)."""
+
+    def __init__(self, index_dir: str, shard_ords: Dict[int, List[int]],
+                 doc_freqs: Dict[str, int], use_wand: bool,
+                 max_open: int = 2):
+        self.index_dir = index_dir
+        self.shard_ords = shard_ords
+        self.doc_freqs = doc_freqs
+        self.use_wand = use_wand
+        self.max_open = max_open
+        self._open: Dict[int, IndexSearcher] = {}
+
+    def _searcher(self, shard: int) -> IndexSearcher:
+        s = self._open.get(shard)
+        if s is None:
+            if len(self._open) >= self.max_open:
+                self._open.pop(next(iter(self._open)))
+            s = IndexSearcher(self.index_dir, self.shard_ords[shard])
+            self._open[shard] = s
+        return s
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "score": [], "segment_ord": [], "doc_id": []}
+        for shard, g in batch.groupby("shard", sort=True):
+            searcher = self._searcher(int(shard))
+            for qid, terms, mode, k in zip(
+                g["query_id"], g["terms"], g["mode"], g["k"]
+            ):
+                if str(mode) == "phrase":
+                    from ..search.query import PhraseQuery
+
+                    hits = searcher.search_query(
+                        PhraseQuery(list(terms)), int(k),
+                        doc_freq_of=lambda t: self.doc_freqs.get(t, 0),
+                    )
+                else:
+                    hits = searcher.search(
+                        list(terms), str(mode), int(k),
+                        doc_freqs=self.doc_freqs, use_wand=self.use_wand,
+                    )
+                for s, seg, doc in hits:
+                    out["query_id"].append(int(qid))
+                    out["score"].append(np.float32(s))
+                    out["segment_ord"].append(seg)
+                    out["doc_id"].append(doc)
+        return pd.DataFrame({
+            "query_id": pd.Series(out["query_id"], dtype="int64"),
+            "score": pd.Series(out["score"], dtype="float32"),
+            "segment_ord": pd.Series(out["segment_ord"], dtype="int32"),
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+        })
+
+
 def global_doc_freqs(index_dir: str, terms: Sequence[str],
                      manifest=None) -> Dict[str, int]:
     """Global doc_freq per query term = Σ per-segment doc_freq
@@ -113,11 +173,17 @@ def search_pipeline(
     concurrency: int = 2,
     use_wand: bool = False,
     batch_size: Optional[int] = None,
+    single_pool: Optional[bool] = None,
 ) -> pa.Table:
     """Execute a batch of (query_id, terms, mode, k) queries.
 
     → pa.Table (query_id, rank, score, segment_ord, doc_id), rank-identical
-    to per-query ``IndexSearcher.search``."""
+    to per-query ``IndexSearcher.search``.
+
+    ``single_pool``: route a (query x shard) product Dataset through ONE
+    actor pool (MultiShardSearcherActor) instead of one pool per shard.
+    Default: automatic when num_shards > 4 — at hundreds of shards a
+    pool per shard would mean hundreds of operators and actor pools."""
     import ray.data as rd
 
     from ..index.manifest import load_manifest
@@ -130,35 +196,59 @@ def search_pipeline(
         # keep every actor in the pool busy: >=2 batches per actor
         batch_size = max(1, len(queries) // (max(1, concurrency) * 2))
 
-    qds = rd.from_items([
-        {"query_id": qid, "terms": list(terms), "mode": mode, "k": k}
-        for qid, terms, mode, k in queries
-    ])
-
     shards = _shard_ords(manifest, num_shards)
     if not shards:
         shards = [None]  # empty index → single empty searcher
+    if single_pool is None:
+        single_pool = len(shards) > 4
 
-    per_shard = []
-    for ords in shards:
-        per_shard.append(
-            qds.map_batches(
-                SearcherActor,
-                fn_constructor_kwargs={
-                    "index_dir": index_dir,
-                    "segment_ords": ords,
-                    "doc_freqs": dfs,
-                    "use_wand": use_wand,
-                },
-                batch_size=batch_size,
-                batch_format="pandas",
-                concurrency=concurrency,
-                **remote_args(),
-            )
+    if single_pool and shards != [None]:
+        shard_map = {i: ords for i, ords in enumerate(shards)}
+        # shard-major product: consecutive batches hit the same shard
+        prod = rd.from_items([
+            {"query_id": qid, "terms": list(terms), "mode": mode, "k": k,
+             "shard": si}
+            for si in sorted(shard_map)
+            for qid, terms, mode, k in queries
+        ])
+        unioned = prod.map_batches(
+            MultiShardSearcherActor,
+            fn_constructor_kwargs={
+                "index_dir": index_dir,
+                "shard_ords": shard_map,
+                "doc_freqs": dfs,
+                "use_wand": use_wand,
+            },
+            batch_size=batch_size,
+            batch_format="pandas",
+            concurrency=concurrency,
+            **remote_args(),
         )
-    unioned = per_shard[0]
-    for d in per_shard[1:]:
-        unioned = unioned.union(d)
+    else:
+        qds = rd.from_items([
+            {"query_id": qid, "terms": list(terms), "mode": mode, "k": k}
+            for qid, terms, mode, k in queries
+        ])
+        per_shard = []
+        for ords in shards:
+            per_shard.append(
+                qds.map_batches(
+                    SearcherActor,
+                    fn_constructor_kwargs={
+                        "index_dir": index_dir,
+                        "segment_ords": ords,
+                        "doc_freqs": dfs,
+                        "use_wand": use_wand,
+                    },
+                    batch_size=batch_size,
+                    batch_format="pandas",
+                    concurrency=concurrency,
+                    **remote_args(),
+                )
+            )
+        unioned = per_shard[0]
+        for d in per_shard[1:]:
+            unioned = unioned.union(d)
 
     k_of = {qid: k for qid, _, _, k in queries}
 

@@ -70,6 +70,20 @@ class TestSearchPipeline:
                 assert row.segment_ord == seg and row.doc_id == doc, (qid, terms)
                 assert np.float32(row.score) == np.float32(score)
 
+    def test_single_pool_scatter_gather_identical(self, pages_index):
+        """(query x shard) product through ONE actor pool must equal the
+        one-pool-per-shard topology bit for bit."""
+        legacy = search_pipeline(
+            pages_index, REFERENCE_QUERY_SET, num_shards=3,
+            single_pool=False,
+        ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pooled = search_pipeline(
+            pages_index, REFERENCE_QUERY_SET, num_shards=3,
+            single_pool=True,
+        ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert legacy.shape == pooled.shape
+        assert (legacy.values == pooled.values).all()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMerge:
