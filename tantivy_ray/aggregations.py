@@ -369,6 +369,8 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
         if kind in ("terms", "histogram", "date_histogram"):
             if kind == "terms":
                 keyed = col
+            elif kind == "date_histogram" and body.get("calendar_interval"):
+                keyed = _calendar_bucket(col, body["calendar_interval"])
             else:
                 interval = body.get("interval") or body.get("fixed_interval")
                 off = body.get("offset", 0)
@@ -436,6 +438,26 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
             continue
         raise ValueError(f"unknown aggregation {kind}")
     return out
+
+
+def _calendar_bucket(col: np.ndarray, interval: str) -> np.ndarray:
+    """date_histogram calendar_interval (reference
+    bucket/histogram/date_histogram.rs:34; ES semantics, UTC): epoch-
+    second values → epoch seconds of the enclosing calendar period
+    start.  month/year/day/hour truncate via datetime64 units; week
+    starts on Monday (epoch day 0 = Thursday, hence the +3 shift)."""
+    secs = np.asarray(col).astype(np.int64)
+    dt = secs.astype("datetime64[s]")
+    unit = {"hour": "h", "day": "D", "month": "M", "year": "Y"}.get(interval)
+    if unit is not None:
+        trunc = dt.astype(f"datetime64[{unit}]")
+    elif interval == "week":
+        days = dt.astype("datetime64[D]").astype(np.int64)
+        monday = ((days + 3) // 7) * 7 - 3
+        trunc = monday.astype("datetime64[D]")
+    else:
+        raise ValueError(f"calendar_interval {interval!r}")
+    return trunc.astype("datetime64[s]").astype(np.int64).astype(np.float64)
 
 
 def _composite_sources(body: Dict) -> List:

@@ -60,6 +60,47 @@ def encode_datetime_s(v: Union[datetime, int, float]) -> str:
     return encode_i64(secs)
 
 
+def encode_bool(v: bool) -> str:
+    """Bool field (reference field_type.rs Bool): false < true."""
+    return "1" if v else "0"
+
+
+def decode_bool(s: str) -> bool:
+    return s == "1"
+
+
+def encode_bytes(v: bytes) -> str:
+    """Bytes field (reference field_type.rs:170-192 Bytes): raw bytes as
+    lowercase hex — fixed 2-chars-per-byte, so lexicographic order of
+    the encoding == bytewise order of the value."""
+    return bytes(v).hex()
+
+
+def decode_bytes(s: str) -> bytes:
+    return bytes.fromhex(s)
+
+
+def encode_ip(v) -> str:
+    """IpAddr field (reference stores every address as a u128 — IPv4
+    mapped into IPv6, field_type.rs IpAddr): 32 hex digits of the
+    big-endian u128, so lexicographic order == numeric address order."""
+    import ipaddress
+
+    a = ipaddress.ip_address(v)
+    if a.version == 4:
+        a = ipaddress.IPv6Address(bytes(12 * b"\x00")[:10]
+                                  + b"\xff\xff" + a.packed)
+    return format(int(a), "032x")
+
+
+def decode_ip(s: str):
+    import ipaddress
+
+    a = ipaddress.IPv6Address(int(s, 16))
+    v4 = a.ipv4_mapped
+    return v4 if v4 is not None else a
+
+
 class EncodeNumericStage:
     """map_batches stage: numeric column → encoded-term string column
     (index the output as an extra 'raw' field)."""
@@ -73,7 +114,8 @@ class EncodeNumericStage:
         import pyarrow as pa
 
         enc = {"i64": encode_i64, "f64": encode_f64,
-               "date": encode_datetime_s}[self.kind]
+               "date": encode_datetime_s, "bool": encode_bool,
+               "bytes": encode_bytes, "ip": encode_ip}[self.kind]
         vals = [enc(v) if v is not None else ""
                 for v in batch.column(self.col).to_pylist()]
         arr = pa.array(vals, type=pa.string())

@@ -110,6 +110,43 @@ FROM events GROUP BY 1
 """
 
 
+# 3b. calendar-interval date_histogram (weeks, Monday start) --------------
+
+def q_agg_calendar_histogram_events(sf_dir: str) -> pa.Table:
+    """date_histogram with calendar_interval=week (reference
+    date_histogram.rs:34): buckets are Monday 00:00 UTC period starts."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def to_epoch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(
+            pc.floor(pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                               1_000_000)),
+            pa.int64(),
+        )
+        return pa.table({"epoch_s": secs})
+
+    ds = ds.map_batches(to_epoch, batch_format="pyarrow", **remote_args())
+    res = run_aggregations(ds, {
+        "per_week": {"date_histogram": {"field": "epoch_s",
+                                        "calendar_interval": "week"},
+                     "aggs": {"m": {"value_count": {"field": "epoch_s"}}}}
+    })
+    rows = [{"bucket": int(b["key"]), "doc_count": b["doc_count"],
+             "n": b["m"]["value"]}
+            for b in res["per_week"]["buckets"]]
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+SQL_AGG_CALENDAR_HISTOGRAM_EVENTS = """
+SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS bucket,
+       count(*) AS doc_count,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 # 4. range buckets + avg sub-agg over events ------------------------------
 
 def q_agg_range_events(sf_dir: str) -> pa.Table:
@@ -312,6 +349,7 @@ AGG_QUERIES: Dict = {
     "agg_stats_by_returnflag": q_agg_stats_by_returnflag,
     "agg_histogram_orders": q_agg_histogram_orders,
     "agg_date_histogram_events": q_agg_date_histogram_events,
+    "agg_calendar_histogram_events": q_agg_calendar_histogram_events,
     "agg_range_events": q_agg_range_events,
     "agg_terms_events": q_agg_terms_events,
     "distinct_users": q_distinct_users,
@@ -323,6 +361,7 @@ AGG_ORACLE_SQL: Dict[str, str] = {
     "agg_stats_by_returnflag": SQL_AGG_STATS_BY_RETURNFLAG,
     "agg_histogram_orders": SQL_AGG_HISTOGRAM_ORDERS,
     "agg_date_histogram_events": SQL_AGG_DATE_HISTOGRAM_EVENTS,
+    "agg_calendar_histogram_events": SQL_AGG_CALENDAR_HISTOGRAM_EVENTS,
     "agg_range_events": SQL_AGG_RANGE_EVENTS,
     "agg_terms_events": SQL_AGG_TERMS_EVENTS,
     "distinct_users": SQL_DISTINCT_USERS,

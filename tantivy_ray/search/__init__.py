@@ -1,3 +1,4 @@
+from .reader import IndexReader, ReloadPolicy  # noqa: F401
 from .searcher import (  # noqa: F401
     IndexSearcher,
     SegmentSearcher,

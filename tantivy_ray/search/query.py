@@ -119,10 +119,13 @@ def NumericRangeQuery(field: str, lower=None, upper=None,
     """Range over an indexed numeric/date term field (the inverted-index
     RangeQuery variant; fast-field ranges are FastFieldFilterQuery).
     Bounds are encoded with the order-preserving codecs (index/numeric.py)."""
-    from ..index.numeric import encode_datetime_s, encode_f64, encode_i64
+    from ..index.numeric import (encode_bool, encode_bytes,
+                                 encode_datetime_s, encode_f64, encode_i64,
+                                 encode_ip)
 
     enc = {"i64": encode_i64, "f64": encode_f64,
-           "date": encode_datetime_s}[kind]
+           "date": encode_datetime_s, "bool": encode_bool,
+           "bytes": encode_bytes, "ip": encode_ip}[kind]
     return RangeQuery(
         lower=enc(lower) if lower is not None else None,
         upper=enc(upper) if upper is not None else None,
