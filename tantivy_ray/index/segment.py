@@ -155,6 +155,9 @@ def build_segment_from_table(
         lens = np.empty(0, dtype=np.int64)
         pos_offsets = np.empty(0, dtype=np.int64)
         pos_lens = np.empty(0, dtype=np.int64)
+        post_docs = np.empty(0, dtype=np.uint32)
+        term_starts = np.empty(0, dtype=np.int64)
+        term_ends = np.empty(0, dtype=np.int64)
         blob = b""
         pos_blob = b""
     else:

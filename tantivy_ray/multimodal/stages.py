@@ -1,11 +1,15 @@
-"""Multimodal actor-pool stages — real Ray plumbing, stubbed codecs.
+"""Multimodal actor-pool stages.
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (width/height/format ...). The Ray-side plumbing is real and tested:
 callable-class stages for ``map_batches(Cls, concurrency=N, batch_size=B)``
 with per-actor init, Arrow-in/Arrow-out schemas, and small batch sizes
-for large payloads.  Actual codecs (PIL/ffmpeg) are NOT in this container:
-each stage ships a clearly-marked stub seam —
+for large payloads.
+
+Codecs: netpbm (P5/P6) and uncompressed 24-bit BMP decode for REAL via
+``codecs.py`` (pure numpy — no external libraries needed).  Compressed
+formats (JPEG/PNG) and video need codecs absent from this container,
+so those stay behind a clearly-marked seam —
 
 - ``strict=True``  → raise NotImplementedError at the decode call
   (production posture: fail loudly until a codec is wired in);
@@ -45,12 +49,24 @@ class DecodeImageStage:
         self.strict = strict
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if self.strict:
-            raise NotImplementedError(
-                "image codec not available in this environment; "
-                "wire PIL/turbojpeg here or run with strict=False"
-            )
-        return fake_decode_rgb(payload, self.width, self.height)
+        from .codecs import UnsupportedImage, decode_image
+
+        try:
+            # REAL codec path (codecs.py): netpbm P5/P6 and 24-bit BMP
+            # decode with numpy alone; nearest-resize to the stage size
+            img = decode_image(payload)
+            h, w = img.shape[:2]
+            yi = np.arange(self.height) * h // self.height
+            xi = np.arange(self.width) * w // self.width
+            return img[yi[:, None], xi[None, :], :]
+        except UnsupportedImage:
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed image codec (JPEG/PNG) not available in "
+                    "this environment; wire PIL/turbojpeg here or run "
+                    "with strict=False"
+                )
+            return fake_decode_rgb(payload, self.width, self.height)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
