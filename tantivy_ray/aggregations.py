@@ -586,8 +586,28 @@ def finalize(aggs: Dict[str, Dict], partial: Dict) -> Dict:
             meta = p[3] if len(p) > 3 else {}
             if kind == "terms":
                 size = body.get("size", 10)
-                # ES order: doc_count desc, key asc
-                items.sort(key=lambda kv: (-kv[1]["doc_count"], str(kv[0])))
+                order = body.get("order")
+                if order:
+                    # custom order (reference term_agg CustomOrder):
+                    # {"_key"|"_count"|<sub-metric name>: "asc"|"desc"}
+                    (okey, odir), = order.items()
+                    rev = odir == "desc"
+                    if okey == "_key":
+                        items.sort(key=lambda kv: str(kv[0]), reverse=rev)
+                    elif okey == "_count":
+                        items.sort(key=lambda kv: (kv[1]["doc_count"],
+                                                   str(kv[0])), reverse=rev)
+                    else:
+                        def subval(kv, okey=okey):
+                            f = finalize(subs, kv[1]["sub"]).get(okey, {})
+                            v = f.get("value")
+                            return v if v is not None else float("-inf")
+                        items.sort(key=lambda kv: (subval(kv), str(kv[0])),
+                                   reverse=rev)
+                else:
+                    # ES default order: doc_count desc, key asc
+                    items.sort(key=lambda kv: (-kv[1]["doc_count"],
+                                               str(kv[0])))
                 items = items[:size]
             elif kind == "range":
                 # keys are (request_index, label): requested order

@@ -136,6 +136,79 @@ class MultiShardSearcherActor:
         })
 
 
+class ParsedSearcherActor:
+    """Actor for the parsed-query pipeline: holds a full-index searcher
+    + a QueryParser; each row is a raw query STRING (field:, quotes,
+    AND/OR/NOT, ~fuzzy, ranges, /regex/, boosts — everything the parser
+    supports), evaluated with exact global stats (every actor sees all
+    segments, the replicated num_shards=1 topology)."""
+
+    def __init__(self, index_dir: str, analyzer: str,
+                 default_fields, conjunction: bool):
+        from ..search.queryparser import QueryParser
+
+        self.searcher = IndexSearcher(index_dir)
+        self.parser = QueryParser(analyzer, default_fields, conjunction)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "rank": [], "score": [], "segment_ord": [],
+               "doc_id": []}
+        for qid, q, k in zip(batch["query_id"], batch["q"], batch["k"]):
+            hits = self.searcher.search_query(
+                self.parser.parse(str(q)), int(k))
+            for rank, (s, seg, doc) in enumerate(hits):
+                out["query_id"].append(int(qid))
+                out["rank"].append(rank)
+                out["score"].append(np.float32(s))
+                out["segment_ord"].append(seg)
+                out["doc_id"].append(doc)
+        return pd.DataFrame({
+            "query_id": pd.Series(out["query_id"], dtype="int64"),
+            "rank": pd.Series(out["rank"], dtype="int32"),
+            "score": pd.Series(out["score"], dtype="float32"),
+            "segment_ord": pd.Series(out["segment_ord"], dtype="int32"),
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+        })
+
+
+def parsed_search_pipeline(
+    index_dir: str,
+    queries: Sequence[Tuple[int, str, int]],
+    concurrency: int = 2,
+    analyzer: str = "default",
+    default_fields=None,
+    conjunction_by_default: bool = False,
+    batch_size: Optional[int] = None,
+) -> pa.Table:
+    """Batch execution of PARSED query strings — the full query algebra
+    (bool trees, phrases, fuzzy/regex automata, ranges, boosts) through
+    one replicated actor pool.  → (query_id, rank, score, segment_ord,
+    doc_id), identical to per-query ``parse_and_search``."""
+    import ray.data as rd
+
+    if batch_size is None:
+        batch_size = max(1, len(queries) // (max(1, concurrency) * 2))
+    qds = rd.from_items([
+        {"query_id": qid, "q": q, "k": k} for qid, q, k in queries
+    ])
+    res = qds.map_batches(
+        ParsedSearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "analyzer": analyzer,
+            "default_fields": default_fields,
+            "conjunction": conjunction_by_default,
+        },
+        batch_size=batch_size,
+        batch_format="pandas",
+        concurrency=concurrency,
+        **remote_args(),
+    )
+    pdf = res.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def global_doc_freqs(index_dir: str, terms: Sequence[str],
                      manifest=None) -> Dict[str, int]:
     """Global doc_freq per query term = Σ per-segment doc_freq

@@ -650,6 +650,22 @@ class QueryEvaluator:
         return docs, acc
 
 
+def collect_docset(readers: Sequence[SegmentReader], query: Query,
+                   total_num_docs: int, average_fieldnorm: float,
+                   doc_freq_of=None):
+    """DocSetCollector (reference src/collector/docset_collector.rs):
+    every matching DocAddress as [(segment_ord, doc_id)], segment order
+    then ascending doc id — the public collect-all form of the internal
+    evaluator docsets."""
+    out = []
+    for r in readers:
+        ev = QueryEvaluator(r, total_num_docs, average_fieldnorm,
+                            doc_freq_of)
+        docs, _ = ev.evaluate(query)
+        out.extend((r.segment_ord, int(d)) for d in docs)
+    return out
+
+
 def count_query(readers: Sequence[SegmentReader], query: Query,
                 total_num_docs: int, average_fieldnorm: float,
                 doc_freq_of=None) -> int:

@@ -292,3 +292,28 @@ class TestRayExecution:
                       "aggs": {"q": {"avg": {"field": "l_quantity"}}}}
         }, batch_size=1000)
         assert sum(b["doc_count"] for b in res["flags"]["buckets"]) == 6000
+
+
+class TestTermsCustomOrder:
+    def test_order_by_key_and_count(self):
+        data = {"cat": np.array(list("a" * 5 + "b" * 3 + "c" * 7))}
+        aggs = {"t": {"terms": {"field": "cat", "size": 10,
+                                "order": {"_key": "desc"}}}}
+        res = run_local(aggs, split_batches(data, 2))["t"]["buckets"]
+        assert [b["key"] for b in res] == ["c", "b", "a"]
+        aggs = {"t": {"terms": {"field": "cat", "size": 2,
+                                "order": {"_count": "asc"}}}}
+        res = run_local(aggs, split_batches(data, 2))["t"]["buckets"]
+        assert [b["key"] for b in res] == ["b", "a"]
+
+    def test_order_by_sub_metric(self):
+        data = {
+            "cat": np.array(["x"] * 3 + ["y"] * 3 + ["z"] * 3),
+            "v": np.array([1.0, 1, 1, 9, 9, 9, 5, 5, 5]),
+        }
+        aggs = {"t": {"terms": {"field": "cat", "size": 3,
+                                "order": {"m": "desc"}},
+                      "aggs": {"m": {"avg": {"field": "v"}}}}}
+        res = run_local(aggs, split_batches(data, 3))["t"]["buckets"]
+        assert [b["key"] for b in res] == ["y", "z", "x"]
+        assert [b["m"]["value"] for b in res] == [9.0, 5.0, 1.0]

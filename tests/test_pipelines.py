@@ -125,3 +125,30 @@ class TestMerge:
         # head term actually got salted (doc_freq > salt block)
         assert r.doc_freq("the") > 100
         assert meta["num_terms"] > 100
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParsedSearchPipeline:
+    def test_matches_parse_and_search(self, pages_index):
+        from tantivy_ray.pipelines.search_pipeline import (
+            parsed_search_pipeline)
+
+        # pages_index has no positions → no phrase queries here (those
+        # are covered by test_query_ops over a positional index)
+        queries = [
+            (0, "the data", 5),
+            (1, "search AND engine", 5),
+            (2, "+index -missing", 5),
+            (3, "data~1", 5),
+            (4, "engine^2 OR search", 5),
+        ]
+        tbl = parsed_search_pipeline(pages_index, queries, concurrency=2)
+        s = IndexSearcher(pages_index)
+        df = tbl.to_pandas()
+        for qid, q, k in queries:
+            exp = s.parse_and_search(q, k)
+            got = df[df.query_id == qid].sort_values("rank")
+            assert len(got) == len(exp), (qid, q)
+            for (score, seg, doc), row in zip(exp, got.itertuples()):
+                assert (row.segment_ord, row.doc_id) == (seg, doc), (qid, q)
+                assert np.float32(row.score) == np.float32(score)

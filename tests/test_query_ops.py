@@ -275,3 +275,18 @@ class TestPhrasePrefixAndRegexPhrase:
         # doc (1,2) repeats "quick brown fox" 3x → highest phrase tf
         hits = ix.search_query(RegexPhraseQuery(["qu.ck", "brown", "fox"]), 5)
         assert (hits[0][1], hits[0][2]) == (1, 2)
+
+
+class TestDocSetCollector:
+    def test_collect_all_matching(self, ix):
+        from tantivy_ray.search.query import collect_docset
+
+        got = collect_docset(ix.readers, TermQuery("fox"),
+                             ix.total_num_docs, ix.average_fieldnorm,
+                             ix.doc_freq)
+        exp = []
+        for si, seg in enumerate(CORPUS):
+            for di, text in enumerate(seg):
+                if "fox" in text.split():
+                    exp.append((si, di))
+        assert got == exp
