@@ -84,8 +84,10 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
         return _lsh_pairs(ds, id_col, vec_col, threshold, lsh_bits, seed)
 
     normalized = ds.map_batches(_normalize_stage(vec_col, id_col),
-                                batch_format="pyarrow", **remote_args())
-    # materialize normalized blocks in the OBJECT STORE; driver holds refs
+                                batch_format="pyarrow",
+                                **remote_args()).materialize()
+    # materialized once: count() is then free metadata, and the
+    # repartition below does not re-run the normalize
     n = normalized.count()
     n_blocks = max(1, -(-n // target_block_rows))
     blocks = normalized.repartition(n_blocks).materialize()

@@ -275,6 +275,9 @@ def minhash_lsh_pairs(
 
     ends_ds = cand.map_batches(endpoints, batch_format="pyarrow",
                                **remote_args())
+    # consumed twice (candidate-id pass + the join union): materialize so
+    # the banding/sort/bucket chain does not re-execute
+    ends_ds = ends_ds.materialize()
 
     # candidate doc ids (small scalar side) → broadcast to prune the
     # shingle re-read; at extreme candidate volume shingle all docs
