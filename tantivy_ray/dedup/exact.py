@@ -29,9 +29,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", **remote_args())
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [g[id_col].min()]})
+    # keep-first = Min per hash via the vectorized aggregate (with
+    # per-block partial combine) — a per-group map_groups would pay
+    # python/pandas overhead on every unique document at corpus scale
+    from ray.data.aggregate import Min
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_first, batch_format="pandas", **remote_args()
-    )
+    return (hashed.groupby("content_hash")
+            .aggregate(Min(id_col, alias_name=id_col))
+            .select_columns([id_col]))

@@ -111,18 +111,46 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id",
 
     banded = ds.map_batches(stage, batch_format="pyarrow", **remote_args())
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        items = sorted({(int(i), int(f)) for i, f in zip(g[id_col], g["fp"])})
-        a, b, d = [], [], []
-        for x in range(len(items)):
-            for y in range(x + 1, len(items)):
-                dist = hamming(items[x][1], items[y][1])
-                if dist <= max_distance:
-                    a.append(items[x][0]); b.append(items[y][0]); d.append(dist)
-        return pd.DataFrame({"id_a": a, "id_b": b, "distance": d})
+    def bucket_pairs_block(tbl: pa.Table) -> pa.Table:
+        """All buckets in one band_key-sorted block; singleton buckets
+        (the vast majority) skipped vectorized."""
+        n = tbl.num_rows
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "distance": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        k = tbl.column("band_key").to_numpy()
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        multi = (ends - starts) >= 2
+        if not multi.any():
+            return empty
+        ids_np = tbl.column(id_col).to_numpy()
+        fps_np = tbl.column("fp").to_numpy()
+        a_out, b_out, d_out = [], [], []
+        for s, e in zip(starts[multi], ends[multi]):
+            items = sorted({(int(i), int(f))
+                            for i, f in zip(ids_np[s:e], fps_np[s:e])})
+            for x in range(len(items)):
+                for y in range(x + 1, len(items)):
+                    dist = hamming(items[x][1], items[y][1])
+                    if dist <= max_distance:
+                        a_out.append(items[x][0])
+                        b_out.append(items[y][0])
+                        d_out.append(dist)
+        return pa.table({
+            "id_a": pa.array(a_out, type=pa.int64()),
+            "id_b": pa.array(b_out, type=pa.int64()),
+            "distance": pa.array(d_out, type=pa.int64()),
+        })
 
-    pairs = banded.groupby("band_key").map_groups(
-        bucket_pairs, batch_format="pandas", **remote_args()
+    pairs = banded.sort("band_key").map_batches(
+        bucket_pairs_block, batch_size=None, batch_format="pyarrow",
+        **remote_args(),
     ).to_pandas().drop_duplicates(ignore_index=True)
     pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(

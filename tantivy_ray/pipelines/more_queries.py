@@ -118,25 +118,47 @@ def q_sessionize_events(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("datetime64[us]").to_numpy()).astype("int64") // 1_000_000
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > SESSION_GAP_S).sum())
-        longest = 0
-        # longest session length in events
-        breaks = np.flatnonzero(gaps > SESSION_GAP_S)
-        bounds = np.concatenate([[0], breaks + 1, [len(ts)]])
-        longest = int(np.diff(bounds).max())
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_events": [len(ts)],
-            "n_sessions": [n_sessions],
-            "longest_session_events": [longest],
+    def sessions_block(tbl: pa.Table) -> pa.Table:
+        """ALL users in one user-sorted block, fully vectorized (a
+        per-user map_groups would pay pandas slicing per user at
+        corpus scale).  sort('user_id') co-locates each user; the
+        (user, ts) order is restored with one in-block lexsort."""
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table({k: pa.array([], type=pa.int64()) for k in
+                             ("user_id", "n_events", "n_sessions",
+                              "longest_session_events")})
+        uid = tbl.column("user_id").to_numpy().astype(np.int64)
+        ts = (tbl.column("ts").cast(pa.timestamp("us")).to_numpy()
+              .astype("datetime64[us]").astype(np.int64) // 1_000_000)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        user_change = np.empty(n, dtype=bool)
+        user_change[0] = True
+        user_change[1:] = uid[1:] != uid[:-1]
+        sess_start = user_change.copy()
+        sess_start[1:] |= (ts[1:] - ts[:-1]) > SESSION_GAP_S
+        ustarts = np.flatnonzero(user_change)
+        uends = np.append(ustarts[1:], n)
+        n_events = uends - ustarts
+        n_sessions = np.add.reduceat(sess_start.astype(np.int64), ustarts)
+        sstarts = np.flatnonzero(sess_start)
+        slens = np.diff(np.append(sstarts, n))
+        # sessions are contiguous per user; reduce session lengths at
+        # each user's first session
+        su_starts = np.flatnonzero(user_change[sstarts])
+        longest = np.maximum.reduceat(slens, su_starts)
+        return pa.table({
+            "user_id": pa.array(uid[ustarts], type=pa.int64()),
+            "n_events": pa.array(n_events, type=pa.int64()),
+            "n_sessions": pa.array(n_sessions, type=pa.int64()),
+            "longest_session_events": pa.array(longest, type=pa.int64()),
         })
 
-    out = ds.groupby("user_id").map_groups(
-        sessions, batch_format="pandas", **remote_args()
-    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    out = (ds.sort("user_id")
+           .map_batches(sessions_block, batch_size=None,
+                        batch_format="pyarrow", **remote_args())
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
     return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
 
 

@@ -330,12 +330,13 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", **remote_args())
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
+    # keep-first via the vectorized Min aggregate (per-block partial
+    # combine; no per-group python at corpus scale)
+    from ray.data.aggregate import Min
 
-    kept = hashed.groupby("h").map_groups(
-        keep_first, batch_format="pandas", **remote_args()
-    )
+    kept = (hashed.groupby("h")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"]))
     pdf = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pdf["doc_id"] = pdf["doc_id"].astype("int64")
     return pa.Table.from_pandas(pdf, preserve_index=False)
