@@ -97,7 +97,9 @@ def _default_registry() -> Dict[str, TextAnalyzer]:
                 f"{code}_stem",
             )
             for code, lang in (("de", "german"), ("fr", "french"),
-                               ("es", "spanish"), ("ru", "russian"))
+                               ("es", "spanish"), ("ru", "russian"),
+                               ("sv", "swedish"), ("no", "norwegian"),
+                               ("da", "danish"))
         },
         "whitespace": TextAnalyzer(WhitespaceTokenizer(), [], "whitespace"),
     }
@@ -126,7 +128,8 @@ _MANAGER = TokenizerManager()
 
 
 _LANG_ANALYZER = {"en": "en_stem", "de": "de_stem", "fr": "fr_stem",
-                  "es": "es_stem", "ru": "ru_stem"}
+                  "es": "es_stem", "ru": "ru_stem", "sv": "sv_stem",
+                  "no": "no_stem", "da": "da_stem"}
 
 
 def analyzer_for_lang(lang: str) -> str:

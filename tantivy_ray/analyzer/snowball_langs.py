@@ -720,6 +720,140 @@ def french_stem(word: str) -> str:
     return w.lower()
 
 
+# ---------------------------------------------------------------------------
+# Scandinavian family (Swedish / Norwegian / Danish) — shared shape:
+# R1 with the "at least 3 letters before R1" adjustment, one large
+# a-suffix step, an undouble/consonant step, and a d-suffix step.
+# ---------------------------------------------------------------------------
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+_SV_STEP1 = ("heterna", "hetens", "arnas", "ernas", "ornas", "heten",
+             "heter", "anden", "andes", "andet", "arens", "arna", "erna",
+             "orna", "ande", "arne", "aste", "aren", "ades", "erns",
+             "ad", "ade", "are", "ern", "ens", "het", "ast", "ar", "er",
+             "or", "as", "es", "at", "en", "a", "e")
+
+_NO_VOWELS = frozenset("aeiouyæåø")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP1 = ("hetenes", "hetene", "hetens", "heten", "heter", "endes",
+             "edes", "enes", "erte", "ande", "ende", "ane", "ene", "ens",
+             "ers", "ets", "het", "ast", "ert", "ede", "en", "ar", "er",
+             "as", "es", "et", "a", "e")
+_NO_STEP3 = ("hetslov", "eleg", "elig", "elov", "slov", "leg", "eig",
+             "lig", "els", "lov", "ig")
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+_DA_STEP1 = ("erendes", "erende", "hedens", "ethed", "erede", "heden",
+             "heder", "endes", "ernes", "erens", "erets", "ered", "ende",
+             "erne", "eren", "erer", "heds", "enes", "eres", "eret",
+             "hed", "ene", "ere", "ens", "ers", "ets", "en", "er", "es",
+             "et", "e")
+
+
+def _r1_min3(word: str, vowels: frozenset) -> int:
+    r1, _ = _standard_r1_r2(word, vowels)
+    return max(r1, 3) if len(word) >= 3 else r1
+
+
+def _longest_suffix_in_r1(word: str, sufs, r1: int):
+    for s in sufs:  # tuples are ordered longest-first
+        if word.endswith(s) and len(word) - len(s) >= r1:
+            return s
+    return None
+
+
+@lru_cache(maxsize=65536)
+def swedish_stem(word: str) -> str:
+    w = word
+    r1 = _r1_min3(w, _SV_VOWELS)
+    # step 1: a-suffixes, else s preceded by a valid s-ending
+    s = _longest_suffix_in_r1(w, _SV_STEP1, r1)
+    if s:
+        w = w[:-len(s)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] in _SV_S_END:
+        w = w[:-1]
+    # step 2: consonant pairs → remove last letter
+    for p in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        if w.endswith(p) and len(w) - 2 >= r1:
+            w = w[:-1]
+            break
+    # step 3
+    if w.endswith("fullt") and len(w) - 5 >= r1:
+        w = w[:-1]
+    elif w.endswith("löst") and len(w) - 4 >= r1:
+        w = w[:-1]
+    else:
+        for s in ("lig", "els", "ig"):
+            if w.endswith(s) and len(w) - len(s) >= r1:
+                w = w[:-len(s)]
+                break
+    return w
+
+
+@lru_cache(maxsize=65536)
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1 = _r1_min3(w, _NO_VOWELS)
+    s = _longest_suffix_in_r1(w, _NO_STEP1, r1)
+    if s in ("erte", "ert"):
+        w = w[:-len(s)] + "er"
+    elif s:
+        w = w[:-len(s)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 and (
+            w[-2] in _NO_S_END
+            or (w[-2] == "k" and (len(w) < 3
+                                  or w[-3] not in _NO_VOWELS))):
+        w = w[:-1]
+    # step 2: dt / vt → delete t
+    for p in ("dt", "vt"):
+        if w.endswith(p) and len(w) - 2 >= r1:
+            w = w[:-1]
+            break
+    # step 3: d-suffixes
+    s = _longest_suffix_in_r1(w, _NO_STEP3, r1)
+    if s:
+        w = w[:-len(s)]
+    return w
+
+
+@lru_cache(maxsize=65536)
+def danish_stem(word: str) -> str:
+    w = word
+    r1 = _r1_min3(w, _DA_VOWELS)
+    s = _longest_suffix_in_r1(w, _DA_STEP1, r1)
+    if s:
+        w = w[:-len(s)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] in _DA_S_END:
+        w = w[:-1]
+    # step 2: gd dt gt kt → remove last letter
+    for p in ("gd", "dt", "gt", "kt"):
+        if w.endswith(p) and len(w) - 2 >= r1:
+            w = w[:-1]
+            break
+    # step 3
+    if w.endswith("igst"):
+        w = w[:-2]
+    s = _longest_suffix_in_r1(w, ("elig", "lig", "els", "ig"), r1)
+    if s:
+        w = w[:-len(s)]
+        # repeat step 2
+        for p in ("gd", "dt", "gt", "kt"):
+            if w.endswith(p) and len(w) - 2 >= r1:
+                w = w[:-1]
+                break
+    elif w.endswith("løst") and len(w) - 4 >= r1 - 1:
+        w = w[:-1]
+    # step 4: undouble a final double consonant in R1
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and len(w) - 1 >= r1:
+        w = w[:-1]
+    return w
+
+
 LANGUAGE_STEMMERS = {
     "german": german_stem,
     "de": german_stem,
@@ -729,4 +863,10 @@ LANGUAGE_STEMMERS = {
     "es": spanish_stem,
     "russian": russian_stem,
     "ru": russian_stem,
+    "swedish": swedish_stem,
+    "sv": swedish_stem,
+    "norwegian": norwegian_stem,
+    "no": norwegian_stem,
+    "danish": danish_stem,
+    "da": danish_stem,
 }

@@ -53,24 +53,55 @@ class IndexWriter:
         self._pending_deletes: List[str] = []
         done = completed_segment_ords(index_dir)
         self._next_ord = max(done) + 1 if done else 0
+        # monotonic opstamps (reference index_writer.rs: every queued op
+        # gets a strictly increasing stamp; commit() returns the stamp of
+        # the last op made durable).  Resumes continue past the last
+        # committed stamp recorded in the manifest.
+        self._opstamp = self._load_committed_opstamp()
+        self._committed_opstamp = self._opstamp
+
+    def _load_committed_opstamp(self) -> int:
+        import json as _json
+
+        p = os.path.join(self.index_dir, "manifest.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(_json.load(f).get("opstamp", 0))
+        return 0
+
+    @property
+    def opstamp(self) -> int:
+        """Stamp of the most recently queued operation."""
+        return self._opstamp
+
+    @property
+    def committed_opstamp(self) -> int:
+        return self._committed_opstamp
 
     # --- ingestion ---
-    def add_document(self, doc: Dict) -> None:
+    def add_document(self, doc: Dict) -> int:
+        self._opstamp += 1
         self._buffer.append(doc)
         if len(self._buffer) >= self.docs_per_segment:
             self._flush()
+        return self._opstamp
 
     def add_documents(self, docs) -> None:
         for d in docs:
             self.add_document(d)
 
-    def delete_by_term(self, term: str) -> None:
+    def delete_by_term(self, term: str) -> int:
+        self._opstamp += 1
         self._pending_deletes.append(term)
+        return self._opstamp
 
     def rollback(self) -> int:
+        """Drop uncommitted ops; the opstamp rewinds to the last
+        committed stamp (reference rollback semantics)."""
         n = len(self._buffer)
         self._buffer.clear()
         self._pending_deletes.clear()
+        self._opstamp = self._committed_opstamp
         return n
 
     def _flush(self) -> None:
@@ -104,7 +135,20 @@ class IndexWriter:
             segments=[metas[o] for o in sorted(metas)],
         )
         write_manifest(self.index_dir, manifest)
+        # stamp the manifest with the last durable opstamp (atomic: the
+        # manifest rewrite below replaces the file written above)
+        import json as _json
+
+        p = os.path.join(self.index_dir, "manifest.json")
+        with open(p) as f:
+            d = _json.load(f)
+        d["opstamp"] = self._opstamp
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(d, f, indent=1)
+        os.replace(tmp, p)
         for term in self._pending_deletes:
             _delete_by_term(self.index_dir, term)
         self._pending_deletes.clear()
+        self._committed_opstamp = self._opstamp
         return load_manifest(self.index_dir)

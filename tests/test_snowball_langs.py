@@ -89,3 +89,40 @@ class TestRouting:
         a = get_analyzer("es_stem")
         assert [t.text for t in a.analyze("Canciones rápidamente")] == \
             ["cancion", "rapid"]
+
+
+class TestScandinavian:
+    @pytest.mark.parametrize("word,stem", [
+        ("jackorna", "jack"), ("klubbarna", "klubb"),
+        ("flickorna", "flick"), ("tillhörighet", "tillhör"),
+        ("öppnade", "öppn"), ("trygghet", "trygg"),
+        ("vackert", "vackert"),
+    ])
+    def test_swedish(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import swedish_stem
+
+        assert swedish_stem(word) == stem
+
+    @pytest.mark.parametrize("word,stem", [
+        ("huset", "hus"), ("hustrene", "hustr"), ("klokken", "klokk"),
+        ("arbeidet", "arbeid"), ("kjærlighetens", "kjær"),
+        ("vanskeligere", "vanskeliger"),
+    ])
+    def test_norwegian(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import norwegian_stem
+
+        assert norwegian_stem(word) == stem
+
+    @pytest.mark.parametrize("word,stem", [
+        ("huset", "hus"), ("indtagelsen", "indtag"), ("mandens", "mand"),
+        ("venligst", "ven"), ("dejligst", "dej"),
+    ])
+    def test_danish(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import danish_stem
+
+        assert danish_stem(word) == stem
+
+    def test_registered_chains(self):
+        for code in ("sv", "no", "da"):
+            assert analyzer_for_lang(code) == f"{code}_stem"
+            get_analyzer(f"{code}_stem")

@@ -69,3 +69,28 @@ class TestIndexWriter:
         ds = pages_from_json(str(p))
         rows = ds.take_all()
         assert len(rows) == 5 and rows[0]["text"].startswith("doc")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOpstamps:
+    def test_monotonic_and_durable(self, tmp_path):
+        from tantivy_ray.sources.writer import IndexWriter
+
+        w = IndexWriter(str(tmp_path), docs_per_segment=10)
+        s1 = w.add_document({"url": "a", "text": "one two"})
+        s2 = w.add_document({"url": "b", "text": "three"})
+        s3 = w.delete_by_term("zzz")
+        assert [s1, s2, s3] == [1, 2, 3]
+        w.commit()
+        assert w.committed_opstamp == 3
+
+        # rollback rewinds to the committed stamp
+        w.add_document({"url": "c", "text": "four"})
+        assert w.opstamp == 4
+        w.rollback()
+        assert w.opstamp == 3
+
+        # a new writer resumes past the committed stamp
+        w2 = IndexWriter(str(tmp_path), docs_per_segment=10)
+        assert w2.opstamp == 3
+        assert w2.add_document({"url": "d", "text": "five"}) == 4
