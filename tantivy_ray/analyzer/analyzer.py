@@ -152,13 +152,14 @@ def register_analyzer(name: str, analyzer: TextAnalyzer) -> None:
 # Vectorized Arrow batch path
 # --------------------------------------------------------------------------
 
-def _stem_unique(values: pa.Array) -> pa.Array:
+def _stem_unique(values: pa.Array, stem_fn=None) -> pa.Array:
     """Stem a string array by stemming only its dictionary of unique values."""
     if len(values) == 0:
         return values
+    fn = stem_fn or snowball_english_stem
     dict_arr = pc.dictionary_encode(values)
     uniq = dict_arr.dictionary.to_pylist()
-    stemmed = pa.array([snowball_english_stem(u) for u in uniq], type=pa.string())
+    stemmed = pa.array([fn(u) for u in uniq], type=pa.string())
     return stemmed.take(dict_arr.indices)
 
 
@@ -214,8 +215,17 @@ def analyze_batch(
             )
         return AnalyzedBatch(tokens, positions, counts)
 
+    stem_fn = None
     if analyzer in ("default", "en_stem"):
         pattern, lower, long_limit, stem = SIMPLE_SPLIT_PATTERN, True, 40, (analyzer == "en_stem")
+    elif analyzer.endswith("_stem") and analyzer[:-5] in _LANG_ANALYZER:
+        # every per-language chain shares the default tokenizer shape
+        # (Simple + RemoveLong(40) + Lower + Stemmer); the stemmer is the
+        # only per-language part — vectorized via the unique dictionary
+        from .snowball_langs import LANGUAGE_STEMMERS
+
+        pattern, lower, long_limit, stem = SIMPLE_SPLIT_PATTERN, True, 40, True
+        stem_fn = LANGUAGE_STEMMERS[analyzer[:-5]]
     elif analyzer == "whitespace":
         pattern, lower, long_limit, stem = WHITESPACE_SPLIT_PATTERN, False, MAX_TOKEN_LEN, False
     else:
@@ -246,7 +256,7 @@ def analyze_batch(
     keep_pa = pa.array(keep)
     vals_kept = vals.filter(keep_pa)
     if stem:
-        vals_kept = _stem_unique(vals_kept)
+        vals_kept = _stem_unique(vals_kept, stem_fn)
     if stop_words is not None and len(vals_kept):
         stop_mask = pc.is_in(vals_kept, value_set=pa.array(sorted(stop_words)))
         keep2 = pc.invert(stop_mask)

@@ -126,3 +126,25 @@ class TestScandinavian:
         for code in ("sv", "no", "da"):
             assert analyzer_for_lang(code) == f"{code}_stem"
             get_analyzer(f"{code}_stem")
+
+
+class TestBatchPathParity:
+    def test_vectorized_matches_exact_chain(self):
+        import pyarrow as pa
+
+        from tantivy_ray.analyzer import analyze_batch
+
+        texts = [
+            "Häuser und Kinder spielen schönheit",
+            "Canciones rápidamente trabajando",
+            "читая книгами делать возможность",
+            "jackorna flickorna tillhörighet",
+            "", None, "x" * 50 + " kurz",
+        ]
+        arr = pa.array(texts, type=pa.string())
+        for name in ("de_stem", "es_stem", "ru_stem", "sv_stem",
+                     "no_stem", "da_stem", "fr_stem"):
+            batch = analyze_batch(arr, name)
+            exact = [get_analyzer(name).token_texts(t or "")
+                     for t in texts]
+            assert batch.tokens.to_pylist() == exact, name
