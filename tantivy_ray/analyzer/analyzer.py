@@ -99,7 +99,8 @@ def _default_registry() -> Dict[str, TextAnalyzer]:
             for code, lang in (("de", "german"), ("fr", "french"),
                                ("es", "spanish"), ("ru", "russian"),
                                ("sv", "swedish"), ("no", "norwegian"),
-                               ("da", "danish"))
+                               ("da", "danish"), ("it", "italian"),
+                               ("pt", "portuguese"), ("nl", "dutch"))
         },
         "whitespace": TextAnalyzer(WhitespaceTokenizer(), [], "whitespace"),
     }
@@ -129,7 +130,8 @@ _MANAGER = TokenizerManager()
 
 _LANG_ANALYZER = {"en": "en_stem", "de": "de_stem", "fr": "fr_stem",
                   "es": "es_stem", "ru": "ru_stem", "sv": "sv_stem",
-                  "no": "no_stem", "da": "da_stem"}
+                  "no": "no_stem", "da": "da_stem", "it": "it_stem",
+                  "pt": "pt_stem", "nl": "nl_stem"}
 
 
 def analyzer_for_lang(lang: str) -> str:

@@ -721,6 +721,440 @@ def french_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_IT_PRON = ("gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+            "mela", "mele", "meli", "melo", "mene", "tela", "tele",
+            "teli", "telo", "tene", "cela", "cele", "celi", "celo",
+            "cene", "vela", "vele", "veli", "velo", "vene", "gli",
+            "ci", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi")
+_IT_STEP1_DEL_R2 = (
+    "atrici", "atrice", "abile", "abili", "ibile", "ibili", "anza",
+    "anze", "iche", "ichi", "ismo", "ismi", "ista", "iste", "isti",
+    "istà", "istè", "istì", "ante", "anti", "ico", "ici", "ica", "ice",
+    "oso", "osa", "osi", "ose")
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+    "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+    "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+    "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda",
+    "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo", "immo",
+    "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are",
+    "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà", "erò",
+    "ere", "eva", "evi", "evo", "irà", "irò", "ire", "ita", "ite",
+    "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute", "uti",
+    "uto", "ar", "ir")
+
+
+def _it_mark(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        if c in "ui" and 0 < i < n - 1 and word[i - 1] in _IT_VOWELS \
+                and word[i + 1] in _IT_VOWELS:
+            chars[i] = c.upper()
+        elif c == "u" and i > 0 and word[i - 1] == "q":
+            chars[i] = "U"
+    return "".join(chars)
+
+
+@lru_cache(maxsize=65536)
+def italian_stem(word: str) -> str:
+    # replace acute accents with grave (á→à etc., the spec's first step)
+    word = word.translate(str.maketrans("áéíóú", "àèìòù"))
+    w = _it_mark(word)
+    rv = _es_rv_generic(w.lower(), _IT_VOWELS)
+    r1, r2 = _standard_r1_r2(w.lower(), _IT_VOWELS)
+
+    def in_rv(p): return p >= rv
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+
+    # step 0: attached pronoun, preceded by (a) ando/endo → delete,
+    # (b) ar/er/ir → replace with e
+    lw = w.lower()
+    for p in _IT_PRON:
+        if not lw.endswith(p):
+            continue
+        base = w[:-len(p)]
+        lb = base.lower()
+        if (lb.endswith("ando") or lb.endswith("endo")) \
+                and in_rv(len(base) - 4):
+            w = base
+        elif (lb.endswith("ar") or lb.endswith("er") or lb.endswith("ir")) \
+                and in_rv(len(base) - 2):
+            w = base + "e"
+        break
+
+    lw = w.lower()
+    step1_done = False
+    cands = []
+    for s in _IT_STEP1_DEL_R2:
+        if lw.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "del"))
+    for s in ("azioni", "azione", "atori", "atore"):
+        if lw.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "ator"))
+    for s in ("logie", "logia"):
+        if lw.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "log"))
+    for s in ("uzioni", "uzione", "usioni", "usione"):
+        if lw.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "u"))
+    for s in ("enze", "enza"):
+        if lw.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "ente"))
+    for s in ("amenti", "amento", "imenti", "imento"):
+        if lw.endswith(s) and in_rv(len(w) - len(s)):
+            cands.append((len(s), s, "del"))
+    if lw.endswith("amente") and in_r1(len(w) - 6):
+        cands.append((6, "amente", "amente"))
+    elif lw.endswith("mente") and in_r2(len(w) - 5):
+        cands.append((5, "mente", "del"))
+    if lw.endswith("ità") and in_r2(len(w) - 3):
+        cands.append((3, "ità", "ita"))
+    for s in ("ivo", "ivi", "iva", "ive"):
+        if lw.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "iv"))
+    if cands:
+        _, s, mode = max(cands, key=lambda c: c[0])
+        w = w[:-len(s)]
+        lw = w.lower()
+        if mode == "ator":
+            if lw.endswith("ic") and in_r2(len(w) - 2):
+                w = w[:-2]
+        elif mode == "log":
+            w += "log"
+        elif mode == "u":
+            w += "u"
+        elif mode == "ente":
+            w += "ente"
+        elif mode == "amente":
+            if lw.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.lower().endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "abil"):
+                    if lw.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[:-len(pre)]
+                        break
+        elif mode == "ita":
+            for pre in ("abil", "ic", "iv"):
+                if lw.endswith(pre) and in_r2(len(w) - len(pre)):
+                    w = w[:-len(pre)]
+                    break
+        elif mode == "iv":
+            if lw.endswith("at") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.lower().endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        step1_done = True
+
+    if not step1_done:
+        lw = w.lower()
+        for s in _IT_STEP2:
+            sl = s.lower()
+            if lw.endswith(sl) and in_rv(len(w) - len(s)):
+                w = w[:-len(s)]
+                break
+
+    # step 3a: final vowel in RV; then a preceding final i in RV
+    lw = w.lower()
+    if lw and lw[-1] in "aeioàèìò" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.lower().endswith("i") and in_rv(len(w) - 1):
+            w = w[:-1]
+    # step 3b: ch → c, gh → g (in RV)
+    lw = w.lower()
+    if (lw.endswith("ch") or lw.endswith("gh")) and in_rv(len(w) - 1):
+        w = w[:-1]
+    return w.lower()
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = frozenset("aeiouáéíóúâêô")
+_PT_STEP1_DEL_R2 = (
+    "amentos", "imentos", "amento", "imento", "ismos", "istas", "ezas",
+    "icos", "icas", "ismo", "ável", "ível", "ista", "osos", "osas",
+    "eza", "ico", "ica", "oso", "osa")
+_PT_STEP2 = (
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis",
+    "áramos", "éramos", "íramos", "ávamos", "aremos", "eremos",
+    "iremos", "ariam", "eriam", "iriam", "assem", "essem", "issem",
+    "arias", "erias", "irias", "ardes", "erdes", "irdes", "asses",
+    "esses", "isses", "astes", "estes", "istes", "áreis", "areis",
+    "éreis", "ereis", "íreis", "ireis", "áveis", "íamos", "armos",
+    "ermos", "irmos", "aria", "eria", "iria", "asse", "esse", "isse",
+    "aste", "este", "iste", "arei", "erei", "irei", "aram", "eram",
+    "iram", "avam", "arem", "erem", "irem", "ando", "endo", "indo",
+    "adas", "idas", "arás", "aras", "erás", "eras", "irás", "avas",
+    "ares", "eres", "ires", "íeis", "ados", "idos", "ámos", "amos",
+    "emos", "imos", "iras", "ada", "ida", "ará", "ara", "erá", "era",
+    "irá", "ava", "iam", "ado", "ido", "ias", "ais", "eis", "ira",
+    "ia", "ei", "am", "em", "ar", "er", "ir", "as", "es", "is", "eu",
+    "iu", "ou")
+
+
+def _es_rv_generic(word: str, vowels: frozenset) -> int:
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in vowels:
+        for i in range(2, n):
+            if word[i] in vowels:
+                return i + 1
+        return n
+    if word[0] in vowels and word[1] in vowels:
+        for i in range(2, n):
+            if word[i] not in vowels:
+                return i + 1
+        return n
+    return 3
+
+
+_PT_UNACCENT = str.maketrans("áéíóúâêô", "aeiouaeo")
+
+
+@lru_cache(maxsize=65536)
+def portuguese_stem(word: str) -> str:
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _es_rv_generic(w, _PT_VOWELS)
+    r1, r2 = _standard_r1_r2(w, _PT_VOWELS)
+
+    def in_rv(p): return p >= rv
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+
+    altered = False
+    cands = []
+    for s in _PT_STEP1_DEL_R2:
+        if w.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "del"))
+    for s in ("aço~es", "adoras", "adores", "aça~o", "adora", "ador",
+              "ante", "antes", "ância"):
+        if w.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "ador"))
+    for s in ("logias", "logia"):
+        if w.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "log"))
+    for s in ("uço~es", "uça~o"):
+        if w.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "u"))
+    for s in ("ências", "ência"):
+        if w.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "ente"))
+    if w.endswith("amente") and in_r1(len(w) - 6):
+        cands.append((6, "amente", "amente"))
+    elif w.endswith("mente") and in_r2(len(w) - 5):
+        cands.append((5, "mente", "mente"))
+    for s in ("idades", "idade"):
+        if w.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "idad"))
+    for s in ("ivas", "ivos", "iva", "ivo"):
+        if w.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "iv"))
+    for s in ("iras", "ira"):
+        if w.endswith(s) and in_rv(len(w) - len(s)) and \
+                w[:len(w) - len(s)].endswith("e"):
+            cands.append((len(s), s, "ir"))
+    if cands:
+        _, s, mode = max(cands, key=lambda c: c[0])
+        base = w[:-len(s)]
+        if mode == "del":
+            w = base
+        elif mode == "ador":
+            w = base
+            if w.endswith("ic") and in_r2(len(w) - 2):
+                w = w[:-2]
+        elif mode == "log":
+            w = base + "log"
+        elif mode == "u":
+            w = base + "u"
+        elif mode == "ente":
+            w = base + "ente"
+        elif mode == "amente":
+            w = base
+            if w.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "ad"):
+                    if w.endswith(pre) and in_r2(len(w) - 2):
+                        w = w[:-2]
+                        break
+        elif mode == "mente":
+            w = base
+            for pre in ("ante", "avel", "ível"):
+                if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                    w = w[:-len(pre)]
+                    break
+        elif mode == "idad":
+            w = base
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                    w = w[:-len(pre)]
+                    break
+        elif mode == "iv":
+            w = base
+            if w.endswith("at") and in_r2(len(w) - 2):
+                w = w[:-2]
+        elif mode == "ir":
+            w = base + "ir"
+        altered = True
+
+    if not altered:
+        for s in _PT_STEP2:
+            if w.endswith(s) and in_rv(len(w) - len(s)):
+                w = w[:-len(s)]
+                altered = True
+                break
+
+    if altered:
+        # step 3: delete final i preceded by c (in RV)
+        if w.endswith("i") and in_rv(len(w) - 1) and \
+                w[:-1].endswith("c"):
+            w = w[:-1]
+    else:
+        # step 4: residual suffix
+        for s in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(s) and in_rv(len(w) - len(s)):
+                w = w[:-len(s)]
+                break
+
+    # step 5: final e/é/ê in RV (+ gu/ci u/i removal); ç → c
+    if w and w[-1] in "eéê" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if (w.endswith("gu") and in_rv(len(w) - 1)) or \
+                (w.endswith("ci") and in_rv(len(w) - 1)):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ").translate(_PT_UNACCENT) \
+        .replace("ã", "a").replace("õ", "o")
+
+
+# ---------------------------------------------------------------------------
+# Dutch
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = frozenset("aeiouyè")
+
+
+def _nl_undouble(w: str) -> str:
+    for p in ("kk", "dd", "tt"):
+        if w.endswith(p):
+            return w[:-1]
+    return w
+
+
+@lru_cache(maxsize=65536)
+def dutch_stem(word: str) -> str:
+    w = word.translate(str.maketrans("äëïöüáéíóú", "aeiouaeiou"))
+    # mark consonant-role y/i: initial y, y after vowel, i between vowels
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        if c == "y" and (i == 0 or w[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif c == "i" and 0 < i < n - 1 and w[i - 1] in _NL_VOWELS \
+                and w[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    w = "".join(chars)
+    lw = w.lower()
+    r1, r2 = _standard_r1_r2(lw, _NL_VOWELS)
+    r1 = max(r1, 3) if len(w) >= 3 else r1
+
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+
+    e_removed = False
+    # step 1
+    lw = w.lower()
+    if lw.endswith("heden") and in_r1(len(w) - 5):
+        w = w[:-5] + "heid"
+    elif lw.endswith(("ene", "en")):
+        s = "ene" if lw.endswith("ene") else "en"
+        i = len(w) - len(s)
+        if in_r1(i) and i >= 1 and lw[i - 1] not in _NL_VOWELS \
+                and not lw[:i].endswith("gem"):
+            w = _nl_undouble(w[:-len(s)])
+    elif lw.endswith(("se", "s")):
+        s = "se" if lw.endswith("se") else "s"
+        i = len(w) - len(s)
+        if in_r1(i) and i >= 1 and lw[i - 1] not in _NL_VOWELS \
+                and lw[i - 1] != "j":
+            w = w[:-len(s)]
+
+    # step 2: final e in R1 preceded by non-vowel
+    lw = w.lower()
+    if lw.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+            and lw[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # step 3a: heid (R2, not preceded by c) + a preceding en as step 1
+    lw = w.lower()
+    if lw.endswith("heid") and in_r2(len(w) - 4) and \
+            not lw[:-4].endswith("c"):
+        w = w[:-4]
+        lw = w.lower()
+        if lw.endswith("en"):
+            i = len(w) - 2
+            if in_r1(i) and i >= 1 and lw[i - 1] not in _NL_VOWELS \
+                    and not lw[:i].endswith("gem"):
+                w = _nl_undouble(w[:-2])
+
+    # step 3b: d-suffixes
+    lw = w.lower()
+    if lw.endswith(("end", "ing")):
+        if in_r2(len(w) - 3):
+            w = w[:-3]
+            lw = w.lower()
+            if lw.endswith("ig") and in_r2(len(w) - 2) and \
+                    not lw.endswith("eig"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+    elif lw.endswith("ig"):
+        if in_r2(len(w) - 2) and not lw.endswith("eig"):
+            w = w[:-2]
+    elif lw.endswith("lijk"):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            lw = w.lower()
+            if lw.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+                    and lw[-2] not in _NL_VOWELS:
+                w = _nl_undouble(w[:-1])
+    elif lw.endswith("baar"):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+    elif lw.endswith("bar"):
+        if in_r2(len(w) - 3) and e_removed:
+            w = w[:-3]
+
+    # step 4: undouble vowel — C + vv + C(not I) at the end
+    lw = w.lower()
+    if len(w) >= 4 and lw[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and lw[-2] == lw[-3] and lw[-2] in "aeou" \
+            and lw[-4] not in _NL_VOWELS:
+        w = w[:-2] + w[-1]
+    return w.lower()
+
+
+# ---------------------------------------------------------------------------
 # Scandinavian family (Swedish / Norwegian / Danish) — shared shape:
 # R1 with the "at least 3 letters before R1" adjustment, one large
 # a-suffix step, an undouble/consonant step, and a d-suffix step.
@@ -869,4 +1303,10 @@ LANGUAGE_STEMMERS = {
     "no": norwegian_stem,
     "danish": danish_stem,
     "da": danish_stem,
+    "italian": italian_stem,
+    "it": italian_stem,
+    "portuguese": portuguese_stem,
+    "pt": portuguese_stem,
+    "dutch": dutch_stem,
+    "nl": dutch_stem,
 }

@@ -143,8 +143,47 @@ class TestBatchPathParity:
         ]
         arr = pa.array(texts, type=pa.string())
         for name in ("de_stem", "es_stem", "ru_stem", "sv_stem",
-                     "no_stem", "da_stem", "fr_stem"):
+                     "no_stem", "da_stem", "fr_stem", "it_stem",
+                     "pt_stem", "nl_stem"):
             batch = analyze_batch(arr, name)
             exact = [get_analyzer(name).token_texts(t or "")
                      for t in texts]
             assert batch.tokens.to_pylist() == exact, name
+
+
+class TestRomanceAndDutch:
+    @pytest.mark.parametrize("word,stem", [
+        ("abbandonata", "abbandon"), ("pronto", "pront"),
+        ("propagandisti", "propagand"), ("cantavano", "cant"),
+        ("nazionale", "nazional"), ("amichevole", "amichevol"),
+        ("mangiando", "mang"), ("qualità", "qualit"),
+    ])
+    def test_italian(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import italian_stem
+
+        assert italian_stem(word) == stem
+
+    @pytest.mark.parametrize("word,stem", [
+        ("cantando", "cant"), ("nacionalidade", "nacional"),
+        ("rapidamente", "rapid"), ("meninas", "menin"),
+        ("grandes", "grand"), ("proposta", "propost"),
+    ])
+    def test_portuguese(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import portuguese_stem
+
+        assert portuguese_stem(word) == stem
+
+    @pytest.mark.parametrize("word,stem", [
+        ("lichamelijk", "licham"), ("lichamen", "licham"),
+        ("huizen", "huiz"), ("katten", "kat"), ("maan", "man"),
+        ("bomen", "bom"), ("loopt", "loopt"),
+    ])
+    def test_dutch(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import dutch_stem
+
+        assert dutch_stem(word) == stem
+
+    def test_registered(self):
+        for code in ("it", "pt", "nl"):
+            assert analyzer_for_lang(code) == f"{code}_stem"
+            get_analyzer(f"{code}_stem")
