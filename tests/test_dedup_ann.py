@@ -295,3 +295,63 @@ class TestImageCodecs:
                                            type=pa.binary())})
         with pytest.raises(NotImplementedError):
             DecodeImageStage(strict=True)(batch)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudioCodecs:
+    """Real WAV codec + DSP features (multimodal/audio.py)."""
+
+    def _tone(self, freq=440.0, rate=8000, secs=0.25):
+        t = np.arange(int(rate * secs)) / rate
+        return np.sin(2 * np.pi * freq * t) * 0.5, rate
+
+    def test_wav_roundtrip(self):
+        from tantivy_ray.multimodal.audio import decode_wav, encode_wav
+
+        x, rate = self._tone()
+        x2, rate2 = decode_wav(encode_wav(x, rate))
+        assert rate2 == rate and len(x2) == len(x)
+        assert np.abs(x2 - x).max() < 1e-3   # 16-bit quantization
+
+    def test_features_track_frequency(self):
+        from tantivy_ray.multimodal.audio import (audio_features,
+                                                  decode_wav, encode_wav)
+
+        lo, rate = self._tone(200.0)
+        hi, _ = self._tone(2000.0)
+        f_lo = audio_features(decode_wav(encode_wav(lo, rate))[0], rate)
+        f_hi = audio_features(decode_wav(encode_wav(hi, rate))[0], rate)
+        # spectral centroid follows the tone frequency
+        assert abs(f_lo[4] - 200) < 30
+        assert abs(f_hi[4] - 2000) < 150
+        # zero-crossing rate too
+        assert f_hi[3] > f_lo[3]
+
+    def test_stage_pipeline(self):
+        import ray.data as rd
+
+        from tantivy_ray.multimodal.audio import (DecodeAudioStage,
+                                                  ExtractAudioFeaturesStage,
+                                                  encode_wav)
+
+        rows = []
+        for f in (220.0, 880.0, 1760.0):
+            x, rate = self._tone(f)
+            rows.append({"audio": encode_wav(x, rate)})
+        ds = rd.from_items(rows)
+        out = (ds.map_batches(DecodeAudioStage(strict=True),
+                              batch_format="pyarrow", batch_size=2)
+                 .map_batches(ExtractAudioFeaturesStage(),
+                              batch_format="pyarrow"))
+        t = out.take_all()
+        assert len(t) == 3
+        cents = [r["audio_features"][4] for r in t]
+        assert cents == sorted(cents)  # centroid rises with frequency
+
+    def test_strict_raises_on_compressed(self):
+        from tantivy_ray.multimodal.audio import DecodeAudioStage
+
+        batch = pa.table({"audio": pa.array([b"ID3\x04mp3data"],
+                                            type=pa.binary())})
+        with pytest.raises(NotImplementedError):
+            DecodeAudioStage(strict=True)(batch)
