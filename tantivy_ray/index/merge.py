@@ -22,12 +22,17 @@ because the parts cover disjoint, ascending global-doc-id ranges (doc ids
 are stacked by segment order, and salts split a segment's already-sorted
 list into contiguous runs).
 
-Output layout (resumable, term-partitioned):
+Output layout (term-range-sorted; reads pruned by parquet column stats):
     merged_dir/
-        parts/bucket=BB/*.parquet   (term, salt, doc_freq, first_doc,
-                                     last_doc, postings: binary blob)
-        term_stats.parquet          (term, doc_freq)  — global df table
-        merged_meta.json
+        parts/*.parquet        (term, salt, doc_freq, first_doc,
+                                last_doc, doc_base, postings blob —
+                                sorted by term, so per-file/row-group
+                                min/max term statistics prune lookups)
+        term_stats/*.parquet   (term, doc_freq) — global df table,
+                                written distributed, term-sorted
+        merged_meta.json        (written last = atomic commit marker;
+                                a partial merge without it is treated
+                                as absent and re-run from scratch)
 """
 
 from __future__ import annotations

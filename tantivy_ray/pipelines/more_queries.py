@@ -56,12 +56,12 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     from ..search import IndexSearcher
 
     s = IndexSearcher(_positions_index(sf_dir))
-    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
-              for r in s.readers}
-    rows = []
+    hits_flat = []
     for qid, terms, k in PHRASE_QUERIES:
         for rank, (score, seg, doc) in enumerate(s.search_phrase(terms, k)):
-            rows.append((qid, rank, int(key_of[seg][doc])))
+            hits_flat.append((qid, rank, seg, doc))
+    keys = s.resolve_doc_keys([(h[2], h[3]) for h in hits_flat])
+    rows = [(h[0], h[1], int(kk)) for h, kk in zip(hits_flat, keys)]
     pdf = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"]).astype("int64")
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
@@ -198,10 +198,8 @@ def q_snippets(sf_dir: str) -> pa.Table:
     s = IndexSearcher(build_docs_index(sf_dir))
     hits = s.search(["table", "scan"], "and", 10)
     gen = SnippetGenerator.from_terms(["table", "scan"], s, max_num_chars=80)
-    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
-              for r in s.readers}
-    wanted = {int(key_of[seg][doc]): rank
-              for rank, (_, seg, doc) in enumerate(hits)}
+    keys = s.resolve_doc_keys([(seg, doc) for _, seg, doc in hits])
+    wanted = {int(kk): rank for rank, kk in enumerate(keys)}
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
@@ -236,12 +234,10 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
     text0 = t.column("text")[0].as_py()
     mlt = MoreLikeThis(min_doc_frequency=2, max_query_terms=12)
     hits = mlt.search(text0, s, k=10)
-    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
-              for r in s.readers}
+    keys = s.resolve_doc_keys([(seg, doc) for _, seg, doc in hits])
     return pa.table({
         "rank": pa.array(range(len(hits)), type=pa.int64()),
-        "doc_id": pa.array([int(key_of[seg][doc]) for _, seg, doc in hits],
-                           type=pa.int64()),
+        "doc_id": pa.array([int(k) for k in keys], type=pa.int64()),
     })
 
 
@@ -272,12 +268,10 @@ def q_topk_bm25_filtered(sf_dir: str) -> pa.Table:
         field="lang", equals="en",
     )
     hits = s.search_query(q, 10)
-    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
-              for r in s.readers}
+    keys = s.resolve_doc_keys([(seg, doc) for _, seg, doc in hits])
     return pa.table({
         "rank": pa.array(range(len(hits)), type=pa.int64()),
-        "doc_id": pa.array([int(key_of[seg][doc]) for _, seg, doc in hits],
-                           type=pa.int64()),
+        "doc_id": pa.array([int(k) for k in keys], type=pa.int64()),
     })
 
 
@@ -370,12 +364,10 @@ def q_top_by_nchars(sf_dir: str) -> pa.Table:
         s.readers, TermQuery("merge"), "n_chars", 10, True,
         s.total_num_docs, s.average_fieldnorm, s.doc_freq,
     )
-    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
-              for r in s.readers}
+    keys = s.resolve_doc_keys([(seg, doc) for _, seg, doc in hits])
     return pa.table({
         "rank": pa.array(range(len(hits)), type=pa.int64()),
-        "doc_id": pa.array([int(key_of[seg][doc]) for _, seg, doc in hits],
-                           type=pa.int64()),
+        "doc_id": pa.array([int(k) for k in keys], type=pa.int64()),
         "n_chars": pa.array([int(v) for v, _, _ in hits], type=pa.int64()),
     })
 

@@ -209,14 +209,9 @@ def q_topk_bm25(sf_dir: str) -> pa.Table:
     tbl = search_pipeline(idx, DOC_QUERIES, num_shards=1, concurrency=2)
     # map (segment_ord, local doc) → original doc_id via the doc-key store
     s = IndexSearcher(idx)
-    key_of = {}
-    for r in s.readers:
-        keys = r.doc_keys().column("doc_id").to_numpy()
-        key_of[r.segment_ord] = keys
     pdf = tbl.to_pandas()
-    pdf["doc_id"] = [
-        int(key_of[seg][doc]) for seg, doc in zip(pdf.segment_ord, pdf.doc_id)
-    ]
+    pdf["doc_id"] = [int(v) for v in s.resolve_doc_keys(
+        list(zip(pdf.segment_ord, pdf.doc_id)))]
     pdf = pdf[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
     pdf = pdf.astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
@@ -232,11 +227,9 @@ def q_topk_bm25_wand(sf_dir: str) -> pa.Table:
     tbl = search_pipeline(idx, DOC_QUERIES, num_shards=1, concurrency=2,
                           use_wand=True)
     s = IndexSearcher(idx)
-    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
-              for r in s.readers}
     pdf = tbl.to_pandas()
-    pdf["doc_id"] = [int(key_of[seg][doc])
-                     for seg, doc in zip(pdf.segment_ord, pdf.doc_id)]
+    pdf["doc_id"] = [int(v) for v in s.resolve_doc_keys(
+        list(zip(pdf.segment_ord, pdf.doc_id)))]
     pdf = pdf[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
     pdf = pdf.astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
@@ -251,11 +244,9 @@ def q_topk_bm25_sharded(sf_dir: str) -> pa.Table:
     idx = build_docs_index(sf_dir)
     tbl = search_pipeline(idx, DOC_QUERIES, num_shards=3, concurrency=1)
     s = IndexSearcher(idx)
-    key_of = {r.segment_ord: r.doc_keys().column("doc_id").to_numpy()
-              for r in s.readers}
     pdf = tbl.to_pandas()
-    pdf["doc_id"] = [int(key_of[seg][doc])
-                     for seg, doc in zip(pdf.segment_ord, pdf.doc_id)]
+    pdf["doc_id"] = [int(v) for v in s.resolve_doc_keys(
+        list(zip(pdf.segment_ord, pdf.doc_id)))]
     pdf = pdf[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
     pdf = pdf.astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)

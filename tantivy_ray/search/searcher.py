@@ -305,6 +305,19 @@ class IndexSearcher:
                 max(1, self.total_num_docs))))
         return out
 
+    def resolve_doc_keys(self, pairs, id_col: str = "doc_id") -> List:
+        """Original doc keys for (segment_ord, local_doc_id) pairs.
+
+        Loads the doc-key store ONLY for segments that actually appear
+        in ``pairs`` — top-k results touch a handful of segments, so the
+        driver never materializes the whole corpus's key stores."""
+        needed = {int(seg) for seg, _ in pairs}
+        key_of = {
+            r.segment_ord: r.doc_keys().column(id_col).to_numpy()
+            for r in self.readers if r.segment_ord in needed
+        }
+        return [key_of[int(seg)][int(doc)] for seg, doc in pairs]
+
     def search_query(self, query, k: int = 10,
                      doc_freq_of=None) -> List[TopHit]:
         """Evaluate a Query AST (search.query) with global stats."""
