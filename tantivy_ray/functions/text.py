@@ -99,6 +99,29 @@ def quality_features_batch(texts: pa.Array) -> pa.Table:
 
 
 _FP_BASE = np.uint64(1099511628211)
+def _make_powers(n: int) -> np.ndarray:
+    """[B^0, B^1, ..., B^(n-1)] mod 2^64 (cumprod wraps correctly)."""
+    return np.concatenate([
+        np.ones(1, dtype=np.uint64),
+        np.cumprod(np.full(n - 1, _FP_BASE, dtype=np.uint64)),
+    ])
+
+
+_FP_POWERS = _make_powers(1 << 16)
+
+
+def _poly_hash64(data: bytes) -> int:
+    """Polynomial rolling hash over bytes, mod 2^64 (uint64 wraparound):
+    h = Σ b_i · B^(n-1-i).  A dot product against precomputed powers —
+    fully vectorized, unlike byte-sequential FNV."""
+    global _FP_POWERS
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr)
+    if n == 0:
+        return 0
+    while n > len(_FP_POWERS):
+        _FP_POWERS = _make_powers(len(_FP_POWERS) * 2)
+    return int((arr * _FP_POWERS[:n][::-1]).sum())
 
 
 def fingerprint_batch(texts: pa.Array) -> pa.Table:
@@ -107,14 +130,9 @@ def fingerprint_batch(texts: pa.Array) -> pa.Table:
     md5s: List[str] = []
     rolls: List[int] = []
     for toks in analyzed.tokens.to_pylist():
-        joined = " ".join(toks)
-        md5s.append(hashlib.md5(joined.encode()).hexdigest())
-        h = np.uint64(14695981039346656037)  # FNV-1a over the token stream
-        for t in toks:
-            for byt in t.encode():
-                h = np.uint64((int(h) ^ byt) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-            h = np.uint64((int(h) ^ 32) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-        rolls.append(int(h))
+        joined = " ".join(toks).encode()
+        md5s.append(hashlib.md5(joined).hexdigest())
+        rolls.append(_poly_hash64(joined))
     return pa.table({
         "md5_fp": pa.array(md5s, type=pa.string()),
         "roll_fp": pa.array(rolls, type=pa.uint64()),
