@@ -638,7 +638,113 @@ def q_stemmed_doc_freqs_multilang(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def pc_cast_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())  # timestamp[us] -> int64 microseconds
+
+
+def q_asof_join_events(sf_dir: str) -> pa.Table:
+    """AS-OF join (functions/joins.py): each 'click' event joined to the
+    user's latest prior-or-simultaneous 'view' event's value; DuckDB's
+    native ASOF LEFT JOIN is the oracle."""
+    import ray.data as rd
+
+    from ..functions.joins import asof_join
+
+    def epochize(batch: pa.Table) -> pa.Table:
+        # microsecond resolution on BOTH sides (epoch_us in the oracle):
+        # second-truncation would create click/view timestamp ties with
+        # ambiguous as-of winners
+        us = pc_cast_us(batch.column("ts"))
+        return batch.set_column(
+            batch.schema.get_field_index("ts"), "ts", us)
+
+    base = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_id", "user_id", "ts",
+                                    "event_type", "value"])
+    base = base.map_batches(epochize, batch_format="pyarrow",
+                            **remote_args()).materialize()
+    left = base.filter(expr="event_type == 'click'") \
+        .drop_columns(["event_type", "value"])
+    right = base.filter(expr="event_type == 'view'") \
+        .drop_columns(["event_type", "event_id"])
+    joined = asof_join(left, right, by="user_id", on="ts",
+                       value_cols=["value"])
+    pdf = joined.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": pa.array(pdf["event_id"].astype(np.int64)),
+        "user_id": pa.array(pdf["user_id"].astype(np.int64)),
+        "view_value": pa.array(
+            [None if pd.isna(v) else round(float(v), 6)
+             for v in pdf["value_asof"]], type=pa.float64()),
+    })
+
+
+SQL_ASOF_JOIN_EVENTS = """
+SELECT l.event_id, l.user_id,
+       round(r.value, 6) AS view_value
+FROM (SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, epoch_us(ts) AS t, value
+      FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.t >= r.t
+"""
+
+
+WINDOW_S = 3600
+HOP_S = 1800
+
+
+def q_window_agg_events(sf_dir: str) -> pa.Table:
+    """Hopping-window aggregate (functions/joins.py window_aggregate):
+    1-hour windows hopping every 30 min; each event lands in 2 windows.
+    Oracle: explicit offset cross-join in SQL."""
+    import ray.data as rd
+
+    from ..functions.joins import window_aggregate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    def epochize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(pc.floor(pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), 1_000_000)),
+            pa.int64())
+        return pa.table({"epoch_s": secs, "value": batch.column("value")})
+
+    ds = ds.map_batches(epochize, batch_format="pyarrow", **remote_args())
+    out = window_aggregate(ds, "epoch_s", WINDOW_S, HOP_S,
+                           value_col="value")
+    pdf = out.to_pandas().sort_values("window_start").reset_index(drop=True)
+    return pa.table({
+        "window_start": pa.array(pdf["window_start"].astype(np.int64)),
+        "n_events": pa.array(pdf["n_events"].astype(np.int64)),
+        "sum_value": pa.array([round(float(v), 6)
+                               for v in pdf["sum_value"]],
+                              type=pa.float64()),
+    })
+
+
+SQL_WINDOW_AGG_EVENTS = f"""
+WITH offs(o) AS (VALUES (0), (1)),
+e AS (SELECT CAST(floor(epoch(ts) / {HOP_S}) * {HOP_S} AS BIGINT) AS base,
+             epoch(ts) AS t, value FROM events)
+SELECT base - o * {HOP_S} AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM e CROSS JOIN offs
+WHERE base - o * {HOP_S} + {WINDOW_S} > t
+GROUP BY 1
+"""
+
+
 MORE_QUERIES: Dict = {
+    "asof_join_events": q_asof_join_events,
+    "window_agg_events": q_window_agg_events,
     "stemmed_doc_freqs_multilang": q_stemmed_doc_freqs_multilang,
     "fuzzy_match_count": q_fuzzy_match_count,
     "regex_match_count": q_regex_match_count,
@@ -656,6 +762,8 @@ MORE_QUERIES: Dict = {
 }
 
 MORE_ORACLE_SQL: Dict[str, str] = {
+    "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "window_agg_events": SQL_WINDOW_AGG_EVENTS,
     "phrase_topk": _sql_phrase_topk(),
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "topk_bm25_filtered": SQL_TOPK_BM25_FILTERED,
