@@ -100,7 +100,8 @@ def _default_registry() -> Dict[str, TextAnalyzer]:
                                ("es", "spanish"), ("ru", "russian"),
                                ("sv", "swedish"), ("no", "norwegian"),
                                ("da", "danish"), ("it", "italian"),
-                               ("pt", "portuguese"), ("nl", "dutch"))
+                               ("pt", "portuguese"), ("nl", "dutch"),
+                               ("ro", "romanian"))
         },
         "whitespace": TextAnalyzer(WhitespaceTokenizer(), [], "whitespace"),
     }
@@ -131,7 +132,7 @@ _MANAGER = TokenizerManager()
 _LANG_ANALYZER = {"en": "en_stem", "de": "de_stem", "fr": "fr_stem",
                   "es": "es_stem", "ru": "ru_stem", "sv": "sv_stem",
                   "no": "no_stem", "da": "da_stem", "it": "it_stem",
-                  "pt": "pt_stem", "nl": "nl_stem"}
+                  "pt": "pt_stem", "nl": "nl_stem", "ro": "ro_stem"}
 
 
 def analyzer_for_lang(lang: str) -> str:

@@ -1,10 +1,12 @@
-"""Snowball stemmers: German, French, Spanish, Russian â€” pure Python.
+"""Snowball stemmers â€” pure Python: German, French, Spanish, Russian,
+Swedish, Norwegian, Danish, Italian, Portuguese, Dutch, Romanian.
 
 Implemented from the published Snowball algorithm descriptions
-(snowballstem.org/algorithms/{german,french,spanish,russian}/stemmer.html)
-â€” the same algorithms the reference uses through rust-stemmers
-(/root/reference/src/tokenizer/stemmer.rs:63-120, Language::German etc.).
-English (Porter2) lives in stemmer.py.
+(snowballstem.org/algorithms/<language>/stemmer.html) â€” the same
+algorithms the reference uses through rust-stemmers
+(/root/reference/src/tokenizer/stemmer.rs:63-120).  With English
+(Porter2, stemmer.py) that is 12 of the reference's 18 languages;
+Finnish, Hungarian, Greek, Turkish, Arabic and Tamil remain.
 
 All stemmers expect lowercased input (the chain puts LowerCaser first)
 and are memoized â€” web text repeats terms heavily.
@@ -149,7 +151,7 @@ _RU_VERB_2 = ("ÐµÐ¹Ñ‚Ðµ", "ÑƒÐ¹Ñ‚Ðµ", "Ð¸Ð»Ð°", "Ñ‹Ð»Ð°", "ÐµÐ½Ð°", "Ð¸Ñ‚Ðµ", "Ð
               "Ð¸ÑˆÑŒ", "ÐµÐ¹", "ÑƒÐ¹", "Ð¸Ð»", "Ñ‹Ð»", "Ð¸Ð¼", "Ñ‹Ð¼", "ÐµÐ½", "ÑÑ‚",
               "Ð¸Ñ‚", "Ñ‹Ñ‚", "ÑƒÑŽ", "ÑŽ")
 _RU_NOUN = ("Ð¸ÑÐ¼Ð¸", "ÑÐ¼Ð¸", "Ð°Ð¼Ð¸", "Ð¸ÐµÐ¹", "Ð¸ÑÐ¼", "Ð¸ÐµÐ¼", "Ð¸ÑÑ…", "Ð¸Ñ",
-            "ÑŒÑÑ…"[:0] or "ÐµÐ²",  # placeholder keeps tuple literal simple
+            "ÐµÐ²",
             "Ð¾Ð²", "Ð¸Ðµ", "ÑŒÐµ", "ÐµÐ¸", "Ð¸Ð¸", "ÐµÐ¹", "Ð¾Ð¹", "Ð¸Ð¹", "ÑÐ¼", "ÐµÐ¼",
             "Ð°Ð¼", "Ð¾Ð¼", "Ð°Ñ…", "ÑÑ…", "Ð¸ÑŽ", "ÑŒÑŽ", "ÑŒÑ", "Ð°", "Ðµ", "Ð¸",
             "Ð¹", "Ð¾", "Ñƒ", "Ñ‹", "ÑŒ", "ÑŽ", "Ñ")
@@ -1046,6 +1048,153 @@ def portuguese_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Romanian
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = frozenset("aÄƒÃ¢eiÃ®ou")
+
+_RO_STEP1 = (  # combining suffixes â†’ shorter stem, repeated to fixpoint
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilitÄƒÅ£i", "abil"),
+    ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivitÄƒÅ£i", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icitÄƒÅ£i", "ic"),
+    ("icatori", "ic"), ("icator", "ic"),
+    ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"), ("icivÄƒ", "ic"),
+    ("icala", "ic"), ("icale", "ic"), ("icali", "ic"), ("icalÄƒ", "ic"),
+    ("iciv", "ic"), ("ical", "ic"),
+    ("ativa", "at"), ("ative", "at"), ("ativi", "at"), ("ativÄƒ", "at"),
+    ("aÅ£iune", "at"), ("atoare", "at"), ("Äƒtoare", "at"),
+    ("atori", "at"), ("Äƒtori", "at"),
+    ("ativ", "at"), ("ator", "at"), ("Äƒtor", "at"),
+    ("itiva", "it"), ("itive", "it"), ("itivi", "it"), ("itivÄƒ", "it"),
+    ("iÅ£iune", "it"), ("itoare", "it"), ("itori", "it"),
+    ("itiv", "it"), ("itor", "it"),
+)
+
+_RO_STEP2_DEL = (
+    "abila", "abile", "abili", "abilÄƒ", "ibila", "ibile", "ibili",
+    "ibilÄƒ", "atori", "itate", "itati", "itÄƒÅ£i", "abil", "ibil",
+    "oasa", "oasÄƒ", "oase", "anta", "ante", "anti", "antÄƒ", "ator",
+    "ata", "atÄƒ", "ati", "ate", "uta", "utÄƒ", "uti", "ute", "ita",
+    "itÄƒ", "iti", "ite", "ica", "ice", "ici", "icÄƒ", "osi", "oÅŸi",
+    "iva", "ive", "ivi", "ivÄƒ", "at", "ut", "it", "ic", "os", "iv",
+    "ant")
+
+_RO_VERB_1 = (  # delete if preceded by consonant or 'u' (in RV)
+    "aserÄƒÅ£i", "aserÄƒm", "Ã¢serÄƒÅ£i", "Ã¢serÄƒm", "iserÄƒÅ£i", "iserÄƒm",
+    "userÄƒÅ£i", "userÄƒm", "irÄƒÅ£i", "urÄƒÅ£i", "arÄƒÅ£i", "Ã¢rÄƒÅ£i", "aseÅŸi",
+    "aserÄƒ", "Ã¢seÅŸi", "Ã¢serÄƒ", "iseÅŸi", "iserÄƒ", "useÅŸi", "userÄƒ",
+    "indu", "Ã¢ndu", "eascÄƒ", "eazÄƒ", "eaÅ£i", "iaÅ£i", "arÄƒm", "urÄƒm",
+    "irÄƒm", "Ã¢rÄƒm", "asem", "Ã¢sem", "isem", "usem", "are", "ere",
+    "ire", "Ã¢re", "ind", "Ã¢nd", "eze", "eÅŸti", "eÅŸte", "ÄƒÅŸti", "ÄƒÅŸte",
+    "eam", "eai", "eau", "iam", "iai", "iau", "aÅŸi", "uÅŸi", "iÅŸi",
+    "Ã¢ÅŸi", "ase", "Ã¢se", "ise", "use", "arÄƒ", "urÄƒ", "irÄƒ", "Ã¢rÄƒ",
+    "esc", "Äƒsc", "ez", "ezi", "ea", "ia", "ui", "Ã¢i", "am", "ai",
+    "au")
+
+_RO_VERB_2 = (  # delete unconditionally (in RV)
+    "seserÄƒÅ£i", "seserÄƒm", "seseÅŸi", "seserÄƒ", "serÄƒÅ£i", "serÄƒm",
+    "sesem", "seÅŸi", "serÄƒ", "sese", "aÅ£i", "eÅ£i", "iÅ£i", "Ã¢Å£i",
+    "sei", "Äƒm", "em", "im", "Ã¢m", "se")
+
+
+@lru_cache(maxsize=65536)
+def romanian_stem(word: str) -> str:
+    # normalize comma-below forms to cedilla forms (both occur in text)
+    w = word.replace("È™", "ÅŸ").replace("È›", "Å£")
+    # mark i/u between vowels as consonants
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_VOWELS \
+                and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    lw = w.lower()
+    rv = _es_rv_generic(lw, _RO_VOWELS)
+    r1, r2 = _standard_r1_r2(lw, _RO_VOWELS)
+
+    def in_rv(p): return p >= rv
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+
+    # step 0: plurals / articles (longest, in R1)
+    lw = w.lower()
+    for suf, rep in (("ilor", "i"), ("ului", ""), ("elor", "e"),
+                     ("iile", "i"), ("iilor", "i"), ("atei", "at"),
+                     ("aÅ£ie", "aÅ£i"), ("aÅ£ia", "aÅ£i"), ("aua", "a"),
+                     ("ele", "e"), ("iua", "i"), ("iei", "i"),
+                     ("ile", "i"), ("ul", ""), ("ii", "i"), ("ea", "e")):
+        if lw.endswith(suf) and in_r1(len(w) - len(suf)):
+            if suf == "ile" and lw.endswith("abile"):
+                continue  # 'ile' not after 'ab'
+            w = w[:-len(suf)] + rep
+            break
+
+    # step 1: combining suffixes to fixpoint
+    changed = True
+    while changed:
+        changed = False
+        lw = w.lower()
+        best = None
+        for suf, rep in _RO_STEP1:
+            if lw.endswith(suf) and in_r1(len(w) - len(suf)):
+                if best is None or len(suf) > len(best[0]):
+                    best = (suf, rep)
+        if best:
+            w = w[:-len(best[0])] + best[1]
+            changed = True
+
+    # step 2: standard suffixes (longest, in R2)
+    lw = w.lower()
+    step2_done = False
+    cands = []
+    for s in _RO_STEP2_DEL:
+        if lw.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, ""))
+    for s in ("iune", "iuni"):
+        if lw.endswith(s) and in_r2(len(w) - len(s)) and \
+                lw[:len(w) - len(s)].endswith("Å£"):
+            cands.append((len(s) + 1, "Å£" + s, "t"))
+    for s in ("isme", "ista", "iste", "isti", "istÄƒ", "iÅŸti", "ism",
+              "ist"):
+        if lw.endswith(s) and in_r2(len(w) - len(s)):
+            cands.append((len(s), s, "ist"))
+    if cands:
+        _, s, rep = max(cands, key=lambda c: c[0])
+        w = w[:-len(s)] + rep
+        step2_done = True
+
+    # step 3: verb suffixes (only when step 2 removed nothing; in RV)
+    if not step2_done:
+        lw = w.lower()
+        done = False
+        for s in _RO_VERB_1:
+            i = len(w) - len(s)
+            if lw.endswith(s) and in_rv(i) and i >= 1 and \
+                    (lw[i - 1] not in _RO_VOWELS or lw[i - 1] == "u"):
+                w = w[:-len(s)]
+                done = True
+                break
+        if not done:
+            for s in _RO_VERB_2:
+                i = len(w) - len(s)
+                if lw.endswith(s) and in_rv(i):
+                    w = w[:-len(s)]
+                    break
+
+    # step 4: final vowel (longest of ie / a e i Äƒ, in RV)
+    lw = w.lower()
+    if lw.endswith("ie") and in_rv(len(w) - 2):
+        w = w[:-2]
+    else:
+        for s in ("a", "e", "i", "Äƒ"):
+            if lw.endswith(s) and in_rv(len(w) - 1):
+                w = w[:-1]
+                break
+    return w.lower()
+
+
+# ---------------------------------------------------------------------------
 # Dutch
 # ---------------------------------------------------------------------------
 
@@ -1309,4 +1458,6 @@ LANGUAGE_STEMMERS = {
     "pt": portuguese_stem,
     "dutch": dutch_stem,
     "nl": dutch_stem,
+    "romanian": romanian_stem,
+    "ro": romanian_stem,
 }

@@ -187,3 +187,25 @@ class TestRomanceAndDutch:
         for code in ("it", "pt", "nl"):
             assert analyzer_for_lang(code) == f"{code}_stem"
             get_analyzer(f"{code}_stem")
+
+
+class TestRomanian:
+    @pytest.mark.parametrize("word,stem", [
+        ("copilului", "copil"), ("fetelor", "fet"), ("cartea", "cart"),
+        ("lucrează", "lucr"), ("românesc", "român"),
+        ("naţionalitate", "naţional"), ("abilitate", "abil"),
+        ("frumoasa", "frumoas"),
+    ])
+    def test_vectors(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import romanian_stem
+
+        assert romanian_stem(word) == stem
+
+    def test_comma_below_normalization(self):
+        from tantivy_ray.analyzer.snowball_langs import romanian_stem
+
+        assert romanian_stem("națională") == romanian_stem("naţională")
+
+    def test_registered(self):
+        assert analyzer_for_lang("ro") == "ro_stem"
+        get_analyzer("ro_stem")
