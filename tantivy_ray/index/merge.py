@@ -359,6 +359,8 @@ def merge_segments(
         ExplodeSegment(index_dir, salt_block_docs, num_buckets),
         batch_size=None,
         batch_format="pandas",
+        retry_exceptions=True,
+        max_retries=3,
         **remote_args(),
     )
 
@@ -373,6 +375,8 @@ def merge_segments(
         lambda t: _reduce_fragment_block(t, avg, index_dir),
         batch_size=None,
         batch_format="pyarrow",
+        retry_exceptions=True,   # explode/reduce are deterministic —
+        max_retries=3,           # retried tasks are byte-identical
         **remote_args(),
     )
     parts_dir = os.path.join(merged_dir, "parts")

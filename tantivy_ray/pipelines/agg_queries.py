@@ -285,7 +285,7 @@ WHERE rank < 2
 # composite (paginated multi-source buckets; reference
 # src/aggregation/bucket/composite/mod.rs:201) ---------------------------
 
-COMPOSITE_PAGE = 4
+COMPOSITE_PAGE = 16
 
 
 def q_agg_composite_events(sf_dir: str) -> pa.Table:
