@@ -35,47 +35,43 @@ def asof_join(left_ds, right_ds, by: str, on: str,
     → Dataset with the left schema plus ``<col><suffix>`` columns.
     Both inputs must carry ``by`` and ``on`` (int64-comparable)."""
 
+    # unified schema computed upfront from the input datasets so each
+    # side needs ONE map stage (tag + pad together)
+    l_in = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    r_in = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    unified = {by: pa.int64(), on: pa.int64(), "_side": pa.int8()}
+    for c, t in l_in.items():
+        if c not in (by, on):
+            unified[f"_l_{c}"] = t
+    for c, t in r_in.items():
+        if c not in (by, on):
+            unified[f"_r_{c}"] = t
+    out_order = sorted(unified)
+
     def tag(side: int):
+        prefix = "_l_" if side == 1 else "_r_"
+
         def fn(batch: pa.Table) -> pa.Table:
             cols = {by: batch.column(by).cast(pa.int64()),
                     on: batch.column(on).cast(pa.int64()),
                     "_side": pa.array(
                         np.full(batch.num_rows, side, dtype=np.int8))}
-            for c in batch.column_names:
-                if c not in (by, on):
-                    cols[f"_l_{c}" if side == 1 else f"_r_{c}"] = \
-                        batch.column(c)
-            return pa.table(cols)
+            for name, typ in unified.items():
+                if name in cols:
+                    continue
+                src = name[3:] if name.startswith(prefix) else None
+                if src is not None and src in batch.column_names:
+                    cols[name] = batch.column(src)
+                else:
+                    cols[name] = pa.nulls(batch.num_rows, type=typ)
+            return pa.table({k: cols[k] for k in out_order})
 
         return fn
 
-    left_t = left_ds.map_batches(tag(1), batch_format="pyarrow",
+    left_p = left_ds.map_batches(tag(1), batch_format="pyarrow",
                                  **remote_args())
-    right_t = right_ds.map_batches(tag(0), batch_format="pyarrow",
+    right_p = right_ds.map_batches(tag(0), batch_format="pyarrow",
                                    **remote_args())
-    # unify schemas (fill the other side's columns with nulls)
-    import pyarrow as _pa
-
-    l_schema = left_t.schema()
-    r_schema = right_t.schema()
-    l_names = set(l_schema.names)
-    r_names = set(r_schema.names)
-
-    def pad(missing_names, other_schema):
-        fields = dict(zip(other_schema.names, other_schema.types))
-
-        def fn(batch: pa.Table) -> pa.Table:
-            for name in sorted(missing_names):
-                batch = batch.append_column(
-                    name, _pa.nulls(batch.num_rows, type=fields[name]))
-            return batch.select(sorted(batch.column_names))
-
-        return fn
-
-    left_p = left_t.map_batches(pad(r_names - l_names, r_schema),
-                                batch_format="pyarrow", **remote_args())
-    right_p = right_t.map_batches(pad(l_names - r_names, l_schema),
-                                  batch_format="pyarrow", **remote_args())
 
     value_cols = list(value_cols)
 
