@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
 import pyarrow as pa
 
 from ..utils import remote_args

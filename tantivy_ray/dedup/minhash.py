@@ -30,7 +30,6 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..analyzer import analyze_batch

@@ -24,7 +24,6 @@ import os
 import shutil
 from typing import Dict, List, Optional
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 

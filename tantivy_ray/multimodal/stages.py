@@ -21,7 +21,6 @@ so those stay behind a clearly-marked seam —
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa

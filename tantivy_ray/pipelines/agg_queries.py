@@ -10,7 +10,6 @@ from __future__ import annotations
 import os
 from typing import Dict
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

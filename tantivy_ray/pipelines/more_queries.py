@@ -399,8 +399,6 @@ def q_json_term_df(sf_dir: str) -> pa.Table:
     s = IndexSearcher(idx)
     # vectorized vocab stats: per-segment Arrow (term, doc_freq) tables
     # summed with one groupby — no per-term python lookups
-    import pyarrow.compute as _pc
-
     merged = pa.concat_tables([r.term_stats_table() for r in s.readers])
     grouped = merged.group_by("term").aggregate([("doc_freq", "sum")])
     grouped = grouped.sort_by("term")

@@ -22,7 +22,6 @@ from __future__ import annotations
 from collections import Counter
 from typing import Dict, Iterable, List, Sequence
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

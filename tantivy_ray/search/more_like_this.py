@@ -13,7 +13,6 @@ from __future__ import annotations
 from collections import Counter
 from typing import Optional, Sequence
 
-import numpy as np
 
 from ..analyzer import get_analyzer
 from ..bm25 import idf
