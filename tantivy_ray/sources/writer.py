@@ -107,9 +107,12 @@ class IndexWriter:
     def _flush(self) -> None:
         if not self._buffer:
             return
+        # dedupe: a column may be both text_col and a fast field
+        keys = list(dict.fromkeys(
+            (self.id_col, self.text_col, *(self.fast_fields or []))))
         cols: Dict[str, list] = {}
         for d in self._buffer:
-            for k in (self.id_col, self.text_col, *(self.fast_fields or [])):
+            for k in keys:
                 cols.setdefault(k, []).append(d.get(k))
         table = pa.table(cols)
         build_segment_from_table(

@@ -114,3 +114,45 @@ class TestReloadPolicy:
         assert r.searcher().total_num_docs == 1   # snapshot unchanged
         r.reload()
         assert r.searcher().total_num_docs == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReloadWithCompaction:
+    def test_reader_sees_compacted_index(self, tmp_path):
+        """IndexReader(OnCommitWithDelay) + compaction compose: after the
+        compactor swaps segments and republishes the manifest, the
+        reader auto-reloads and serves identical results."""
+        from tantivy_ray.index.compaction import LogMergePolicy, compact
+        from tantivy_ray.search import IndexReader, ReloadPolicy
+        from tantivy_ray.sources.writer import IndexWriter
+
+        # compaction re-analyzes from the stored text fast field
+        w = IndexWriter(str(tmp_path), docs_per_segment=4,
+                        fast_fields=["text"])
+        texts = [f"alpha beta doc{i} gamma" for i in range(20)]
+        for i, t in enumerate(texts):
+            w.add_document({"url": f"u{i}", "text": t})
+        w.commit()
+
+        r = IndexReader(str(tmp_path),
+                        reload_policy=ReloadPolicy.ON_COMMIT_WITH_DELAY,
+                        delay_secs=0.05)
+        before = r.searcher().search(["alpha", "beta"], "and", 20)
+        n_seg_before = len(r.searcher().readers)
+        assert n_seg_before == 5
+
+        res = compact(str(tmp_path),
+                      LogMergePolicy(min_num_segments=3, min_layer_size=2))
+        assert len(res["merged_groups"]) >= 1
+        time.sleep(0.1)
+        after_s = r.searcher()
+        assert len(after_s.readers) < n_seg_before  # reloaded snapshot
+        after = after_s.search(["alpha", "beta"], "and", 20)
+        # identical result set through the swap: compaction preserves
+        # global stats, so the f32 scores match exactly
+        import numpy as np
+
+        assert len(after) == len(before) == 20
+        before_scores = sorted(np.float32(sc) for sc, _, _ in before)
+        after_scores = sorted(np.float32(sc) for sc, _, _ in after)
+        assert before_scores == after_scores
