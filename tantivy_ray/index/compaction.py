@@ -92,6 +92,12 @@ def _rebuild_segment(index_dir: str, source_ords: List[int],
             f"({manifest.text_col!r}); build with "
             f"fast_fields=[..., {manifest.text_col!r}]"
         )
+    # preserve the segment sort when every source shares one (the
+    # reference keeps IndexSettings.sort_by_field through merges)
+    sorts = {tuple(r.meta.get("sort_by") or ()) for r in readers}
+    sort_by = tuple(sorts.pop()) if len(sorts) == 1 and any(sorts) else None
+    if sort_by == ():
+        sort_by = None
     return build_segment_from_table(
         stacked, new_ord, index_dir,
         text_col=manifest.text_col, id_col=manifest.id_col,
@@ -100,6 +106,7 @@ def _rebuild_segment(index_dir: str, source_ords: List[int],
         lineage={"compacted_from": sorted(source_ords)},
         fast_fields=[c for c in stacked.column_names
                      if c not in (manifest.id_col,)],
+        sort_by=sort_by,
     )
 
 

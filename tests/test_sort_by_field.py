@@ -95,3 +95,36 @@ class TestSortByField:
                           for score, seg, doc in hits)
 
         assert scored(plain) == scored(sortd)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSortSurvivesCompaction:
+    def test_compacted_segment_keeps_sort(self, tmp_path):
+        from tantivy_ray.index.build import build_index
+        from tantivy_ray.index.compaction import LogMergePolicy, compact
+        from tantivy_ray.index.manifest import load_manifest
+        import pyarrow.parquet as pq_
+        import random
+
+        rnd = random.Random(5)
+        t = pa.table({
+            "url": [f"u{i}" for i in range(40)],
+            "text": [f"alpha w{rnd.randint(0, 9)} beta" for _ in range(40)],
+            "nch": pa.array([rnd.randint(0, 1000) for _ in range(40)],
+                            type=pa.int64()),
+        })
+        src = str(tmp_path / "src.parquet")
+        pq_.write_table(t, src)
+        idx = str(tmp_path / "ix")
+        build_index(src, idx, docs_per_segment=10,
+                    fast_fields=["nch", "text"], sort_by=("nch", "asc"))
+        compact(idx, LogMergePolicy(min_num_segments=2, min_layer_size=2))
+        m = load_manifest(idx)
+        compacted = [s for s in m.segments
+                     if s.get("lineage", {}).get("compacted_from")]
+        assert compacted, "compaction must have merged something"
+        for s in compacted:
+            assert s["sort_by"] == ["nch", "asc"]
+            r = SegmentReader(f"{idx}/seg-{s['segment_ord']:05d}")
+            nch = r.doc_keys().column("nch").to_pylist()
+            assert nch == sorted(nch)
