@@ -290,3 +290,38 @@ class TestDocSetCollector:
                 if "fox" in text.split():
                     exp.append((si, di))
         assert got == exp
+
+
+class TestRequiredOptionalScorer:
+    """Reference RequiredOptionalScorer (src/query/req_opt_scorer.rs):
+    matching is gated by the required scorer; the optional scorer only
+    CONTRIBUTES score when it also matches.  BooleanQuery(must+should)
+    implements exactly that contract — proven here against a
+    brute-force model."""
+
+    def test_required_gates_optional_boosts(self, ix):
+        req, opt = "fox", "quick"
+        hits = ix.search_query(
+            BooleanQuery(must=[TermQuery(req)], should=[TermQuery(opt)]), 30)
+        got_docs = {(seg, doc) for _, seg, doc in hits}
+        # matching = exactly the docs containing the required term
+        exp_docs = set()
+        for si, seg in enumerate(CORPUS):
+            for di, text in enumerate(seg):
+                if req in text.split():
+                    exp_docs.add((si, di))
+        assert got_docs == exp_docs
+
+        # score = required + optional-when-present: docs with both terms
+        # must outscore their required-only score
+        req_only = {(seg, doc): s for s, seg, doc in
+                    ix.search_query(BooleanQuery(must=[TermQuery(req)]), 30)}
+        both = {(seg, doc) for _, seg, doc in hits
+                if opt in CORPUS[seg][doc].split()}
+        for s, seg, doc in hits:
+            if (seg, doc) in both:
+                assert s > req_only[(seg, doc)]
+            else:
+                import numpy as np
+
+                assert np.float32(s) == np.float32(req_only[(seg, doc)])
