@@ -740,7 +740,49 @@ GROUP BY 1
 """
 
 
+BPE_ISH_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                   r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+")
+
+
+def q_bpe_token_counts(sf_dir: str) -> pa.Table:
+    """BPE-ish token counting: GPT-2-style regex pre-tokenization
+    (contraction pieces, space-prefixed letter/digit/punct runs —
+    lookahead-free so RE2 handles it) counted per document, next to the
+    whitespace count.  Both Ray (pyarrow RE2 count_substring_regex,
+    fully vectorized) and the DuckDB oracle (regexp_extract_all, also
+    RE2) run the SAME pattern in the same regex engine."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column("text"), "")
+        bpe = pc.count_substring_regex(txt, pattern=BPE_ISH_PATTERN)
+        ws = pc.count_substring_regex(txt, pattern=r"\S+")
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "bpe_tokens": bpe.cast(pa.int64()),
+            "ws_tokens": ws.cast(pa.int64()),
+        })
+
+    pdf = (ds.map_batches(f, batch_format="pyarrow", **remote_args())
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+SQL_BPE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace("'", "''")}')) AS BIGINT)
+           AS bpe_tokens,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens
+FROM documents
+"""
+
+
 MORE_QUERIES: Dict = {
+    "bpe_token_counts": q_bpe_token_counts,
     "asof_join_events": q_asof_join_events,
     "window_agg_events": q_window_agg_events,
     "stemmed_doc_freqs_multilang": q_stemmed_doc_freqs_multilang,
@@ -760,6 +802,7 @@ MORE_QUERIES: Dict = {
 }
 
 MORE_ORACLE_SQL: Dict[str, str] = {
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "window_agg_events": SQL_WINDOW_AGG_EVENTS,
     "phrase_topk": _sql_phrase_topk(),
