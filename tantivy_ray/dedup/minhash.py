@@ -54,20 +54,62 @@ class MinHasher:
     def signatures_batch(self, token_lists: List[List[str]]) -> np.ndarray:
         """(D, P) uint64 signatures; empty-shingle docs are P61-filled.
 
-        One vectorized hash over ALL distinct shingles in the batch and
-        one (S, P) uint64 mulmod — no per-document python arithmetic."""
+        One vectorized hash over ALL shingles in the batch and one
+        (S, P) uint64 mulmod — no per-document python arithmetic.
+        Shingles are left as a multiset: min over a multiset equals min
+        over its set, so per-doc dedup is unnecessary for signatures."""
         w = self.shingle_w
         all_sh: List[str] = []
         starts = np.empty(len(token_lists), dtype=np.int64)
         ends = np.empty(len(token_lists), dtype=np.int64)
         for i, toks in enumerate(token_lists):
             starts[i] = len(all_sh)
-            # unique shingles per doc (set semantics of the jaccard oracle)
             if len(toks) >= w:
-                all_sh.extend(set(self.shingles(toks, w)))
+                all_sh.extend(self.shingles(toks, w))
             ends[i] = len(all_sh)
         hashes = hash_strings64(all_sh)
         return affine_min_hash(hashes, self.a, self.b, starts, ends)
+
+    def signatures_from_analyzed(self, tokens: pa.ListArray) -> np.ndarray:
+        """(D, P) signatures straight from an AnalyzedBatch token
+        ListArray — shingling fully vectorized: the flat token array is
+        joined with its own 1- and 2-shifted views (w=3) via arrow
+        binary_join_element_wise, and per-doc ranges are derived from
+        the list offsets.  No per-document python at all."""
+        import pyarrow.compute as pc
+
+        w = self.shingle_w
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        flat = tokens.values
+        n_docs = len(offsets) - 1
+        S = len(flat)
+        if S < w:
+            return np.full((n_docs, self.num_perm), P61, dtype=np.uint64)
+        # shingle i spans flat[i : i+w]; valid iff i+w <= doc_end
+        views = [flat.slice(k, S - w + 1) for k in range(w)]
+        joined = pc.binary_join_element_wise(*views, " ")
+        hashes_all = hash_strings64(joined.to_numpy(zero_copy_only=False))
+        # per-doc shingle ranges in the (S - w + 1)-long shingle space
+        sh_starts = np.minimum(offsets[:-1], S - w + 1)
+        sh_ends = np.maximum(offsets[1:] - (w - 1), sh_starts)
+        # docs shorter than w tokens produce no shingles
+        short = (offsets[1:] - offsets[:-1]) < w
+        sh_ends[short] = sh_starts[short]
+        # drop the cross-doc shingles (the w-1 gap per doc): range-union
+        # mask via +1/-1 deltas, then compact the kept hashes
+        delta = np.zeros(len(hashes_all) + 1, dtype=np.int64)
+        np.add.at(delta, sh_starts, 1)
+        np.add.at(delta, sh_ends, -1)
+        for_each = np.cumsum(delta[:-1]) > 0
+        kept = hashes_all[for_each]
+        keep = np.zeros(len(hashes_all) + 1, dtype=np.int64)
+        np.cumsum(for_each.astype(np.int64), out=keep[1:])
+        c_starts = keep[sh_starts]
+        c_ends = keep[sh_ends]
+        return affine_min_hash(kept, self.a, self.b, c_starts, c_ends)
 
     def signature(self, tokens: List[str]) -> Optional[np.ndarray]:
         sig = self.signatures_batch([tokens])[0]
@@ -233,7 +275,7 @@ def minhash_lsh_pairs(
     def stage_bands(batch: pa.Table) -> pa.Table:
         out = analyze_batch(batch.column(text_col), analyzer)
         ids = batch.column(id_col).cast(pa.int64()).to_numpy()
-        sigs = hasher.signatures_batch(out.tokens.to_pylist())
+        sigs = hasher.signatures_from_analyzed(out.tokens)
         nonempty = np.flatnonzero(~(sigs == P61).all(axis=1))
         if len(nonempty) == 0:
             return pa.table({"bkey": pa.array([], type=pa.uint64()),
