@@ -71,6 +71,11 @@ class RemoveLongFilter:
 
 class StopWordFilter:
     def __init__(self, words: Optional[Sequence[str]] = None, language: str = "english"):
+        if isinstance(words, str):
+            # StopWordFilter("en") means the language, not a one-string
+            # word list (mirrors the reference's new(Language) API);
+            # iterating the string would silently stop single LETTERS
+            words, language = None, words
         if words is None:
             if language in ("english", "en"):
                 words = ENGLISH_STOP_WORDS
