@@ -54,9 +54,10 @@ class SearcherActor:
             if str(mode) == "phrase":
                 from ..search.query import PhraseQuery
 
+                df_of = (self.searcher.doc_freq if self.doc_freqs is None
+                         else lambda t: self.doc_freqs.get(t, 0))
                 hits = self.searcher.search_query(
-                    PhraseQuery(list(terms)), int(k),
-                    doc_freq_of=lambda t: self.doc_freqs.get(t, 0),
+                    PhraseQuery(list(terms)), int(k), doc_freq_of=df_of,
                 )
             else:
                 hits = self.searcher.search(
@@ -262,8 +263,14 @@ def search_pipeline(
     from ..index.manifest import load_manifest
 
     manifest = load_manifest(index_dir)
-    all_terms = sorted({t for _, terms, _, _ in queries for t in terms})
-    dfs = global_doc_freqs(index_dir, all_terms, manifest)
+    shards_probe = _shard_ords(manifest, num_shards)
+    if num_shards <= 1 or len(shards_probe) <= 1:
+        # replicated mode: every actor holds all segments, so its LOCAL
+        # doc freqs are already global — no separate df-lookup job
+        dfs = None
+    else:
+        all_terms = sorted({t for _, terms, _, _ in queries for t in terms})
+        dfs = global_doc_freqs(index_dir, all_terms, manifest)
 
     if batch_size is None:
         # keep every actor in the pool busy: >=2 batches per actor
