@@ -46,7 +46,8 @@ class SearcherActor:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {
-            "query_id": [], "score": [], "segment_ord": [], "doc_id": [],
+            "query_id": [], "rank": [], "score": [], "segment_ord": [],
+            "doc_id": [],
         }
         for qid, terms, mode, k in zip(
             batch["query_id"], batch["terms"], batch["mode"], batch["k"]
@@ -64,13 +65,15 @@ class SearcherActor:
                     list(terms), str(mode), int(k),
                     doc_freqs=self.doc_freqs, use_wand=self.use_wand,
                 )
-            for s, seg, doc in hits:
+            for rank, (s, seg, doc) in enumerate(hits):
                 out["query_id"].append(int(qid))
+                out["rank"].append(rank)
                 out["score"].append(np.float32(s))
                 out["segment_ord"].append(seg)
                 out["doc_id"].append(doc)
         return pd.DataFrame({
             "query_id": pd.Series(out["query_id"], dtype="int64"),
+            "rank": pd.Series(out["rank"], dtype="int32"),
             "score": pd.Series(out["score"], dtype="float32"),
             "segment_ord": pd.Series(out["segment_ord"], dtype="int32"),
             "doc_id": pd.Series(out["doc_id"], dtype="int64"),
@@ -329,6 +332,13 @@ def search_pipeline(
         unioned = per_shard[0]
         for d in per_shard[1:]:
             unioned = unioned.union(d)
+
+    if len(shards) <= 1:
+        # replicated: a query's rows all come from ONE actor, already the
+        # globally-ranked top-k — no reduce exchange needed at all
+        pdf = unioned.to_pandas().sort_values(["query_id", "rank"])
+        return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                    preserve_index=False)
 
     k_of = {qid: k for qid, _, _, k in queries}
 
