@@ -592,18 +592,30 @@ def finalize(aggs: Dict[str, Dict], partial: Dict) -> Dict:
                     # {"_key"|"_count"|<sub-metric name>: "asc"|"desc"}
                     (okey, odir), = order.items()
                     rev = odir == "desc"
+                    # compare _key with the native type when every key is
+                    # numeric (str() would order 10 before 2); bool is not
+                    # "numeric" here — it str-sorts with its terms
+                    numeric = items and all(
+                        isinstance(kv[0], (int, float))
+                        and not isinstance(kv[0], bool) for kv in items)
+                    kfn = ((lambda kv: kv[0]) if numeric
+                           else (lambda kv: str(kv[0])))
                     if okey == "_key":
-                        items.sort(key=lambda kv: str(kv[0]), reverse=rev)
-                    elif okey == "_count":
-                        items.sort(key=lambda kv: (kv[1]["doc_count"],
-                                                   str(kv[0])), reverse=rev)
+                        items.sort(key=kfn, reverse=rev)
                     else:
-                        def subval(kv, okey=okey):
-                            f = finalize(subs, kv[1]["sub"]).get(okey, {})
-                            v = f.get("value")
-                            return v if v is not None else float("-inf")
-                        items.sort(key=lambda kv: (subval(kv), str(kv[0])),
-                                   reverse=rev)
+                        if okey == "_count":
+                            def primary(kv):
+                                return kv[1]["doc_count"]
+                        else:
+                            def primary(kv, okey=okey):
+                                f = finalize(subs, kv[1]["sub"]).get(okey, {})
+                                v = f.get("value")
+                                return v if v is not None else float("-inf")
+                        # ES/reference tie rule: equal primary values break
+                        # by key ASC regardless of the primary's direction —
+                        # two stable passes, key first, then primary
+                        items.sort(key=kfn)
+                        items.sort(key=primary, reverse=rev)
                 else:
                     # ES default order: doc_count desc, key asc
                     items.sort(key=lambda kv: (-kv[1]["doc_count"],
@@ -642,34 +654,46 @@ def _histogram_bounds_items(body: Dict, items: List) -> List:
     hard = body.get("hard_bounds")
     min_dc = body.get("min_doc_count", 0 if ext else 1)
     items.sort(key=lambda kv: kv[0])
+    if interval is None:  # calendar intervals: observed keys only
+        if min_dc > 0:
+            items = [kv for kv in items if kv[1]["doc_count"] >= min_dc]
+        return items
+    off = body.get("offset", 0)
+
+    # All matching happens in INTEGER bucket-index space: the grid key
+    # lo + i*interval can differ from the observed key
+    # floor((v-off)/interval)*interval + off by 1 ulp for fractional
+    # intervals, so raw float-key equality silently drops real buckets.
+    def idx_of(k):  # exact bucket key -> integer bucket index
+        return int(round((k - off) / interval))
+
+    def floor_idx(x):  # raw value -> index of its containing bucket
+        return int(math.floor((x - off) / interval))
+
+    idx_all = [idx_of(kv[0]) for kv in items]
     # data range BEFORE clipping: hard_bounds limit the emitted range but
     # gap filling spans the (clipped) observed data range (ES semantics)
-    keys_all = [kv[0] for kv in items]
     if hard:
-        lo_h = math.floor(hard["min"] / interval) * interval
-        hi_h = math.floor(hard["max"] / interval) * interval
-        items = [kv for kv in items if lo_h <= kv[0] <= hi_h]
+        lo_h, hi_h = floor_idx(hard["min"]), floor_idx(hard["max"])
+        items = [kv for kv in items if lo_h <= idx_of(kv[0]) <= hi_h]
     if min_dc == 0 or ext:
-        lo = min(keys_all) if keys_all else None
-        hi = max(keys_all) if keys_all else None
+        lo = min(idx_all) if idx_all else None
+        hi = max(idx_all) if idx_all else None
         if ext:
-            lo_e = math.floor(ext["min"] / interval) * interval
-            hi_e = math.floor(ext["max"] / interval) * interval
+            lo_e, hi_e = floor_idx(ext["min"]), floor_idx(ext["max"])
             lo = lo_e if lo is None else min(lo, lo_e)
             hi = hi_e if hi is None else max(hi, hi_e)
         if hard:
-            lo = max(lo, math.floor(hard["min"] / interval) * interval)
-            hi = min(hi, math.floor(hard["max"] / interval) * interval)
+            lo = max(lo, floor_idx(hard["min"]))
+            hi = min(hi, floor_idx(hard["max"]))
         if lo is not None:
-            have = dict(items)
-            full = []
-            k = lo
-            # guard against float drift: step count is exact
-            steps = int(round((hi - lo) / interval)) + 1
-            for i in range(steps):
-                k = lo + i * interval
-                full.append((k, have.get(k, {"doc_count": 0, "sub": {}})))
-            items = full
+            have = {idx_of(k): (k, v) for k, v in items}
+            items = []
+            for i in range(lo, hi + 1):
+                hit = have.get(i)
+                items.append(hit if hit is not None else
+                             (i * interval + off,
+                              {"doc_count": 0, "sub": {}}))
     if min_dc > 0:
         items = [kv for kv in items if kv[1]["doc_count"] >= min_dc]
     return items

@@ -442,29 +442,29 @@ class MergedSearcher:
         terms = list(terms)
         dfs = {t: self.reader.doc_freq(t) for t in terms}
         weights = self._src.make_weights(terms, dfs)
+        from ..search.searcher import _sparse_accumulate
+
         gv = self._gv
-        n = int(gv["bases"][-1])
         fids = gv["fids"]
-        acc = np.zeros(n, dtype=np.float32)
-        cnt = np.zeros(n, dtype=np.int32)
         n_present = 0
+        parts = []
         for t, w in zip(terms, weights):
             p = self.reader.postings(t)
             if p is None:
                 continue
             n_present += 1
             docs, tfs = p
-            acc[docs] += w.score(fids[docs], tfs)
-            cnt[docs] += 1
+            parts.append((docs, w.score(fids[docs], tfs)))
+        if mode == "and" and n_present < len(terms):
+            return []
+        # candidate-sparse accumulation (O(matched postings), never
+        # O(corpus docs)) — same serving-path discipline as IndexSearcher
+        cand, scores, nmatch = _sparse_accumulate(parts)
         if mode == "and":
-            if n_present < len(terms):
-                return []
-            cand = np.flatnonzero(cnt == len(terms))
-        else:
-            cand = np.flatnonzero(cnt > 0)
+            keep = nmatch == len(terms)
+            cand, scores = cand[keep], scores[keep]
         if len(cand) == 0:
             return []
-        scores = acc[cand]
         if len(cand) > k:
             kth = np.partition(scores, len(scores) - k)[len(scores) - k]
             keep = scores >= kth

@@ -284,6 +284,11 @@ def search_pipeline(
         shards = [None]  # empty index → single empty searcher
     if single_pool is None:
         single_pool = len(shards) > 4
+    if len(shards) <= 1:
+        # a single shard is the replicated topology: MultiShardSearcherActor
+        # emits no rank column and needs global dfs (None here), so an
+        # explicit single_pool=True would break the replicated fast path
+        single_pool = False
 
     if single_pool and shards != [None]:
         shard_map = {i: ords for i, ords in enumerate(shards)}

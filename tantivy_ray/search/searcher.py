@@ -39,6 +39,44 @@ from .wand import block_max_wand_topk
 TopHit = Tuple[float, int, int]  # (score_f32, segment_ord, doc_id)
 
 
+def _sparse_accumulate(
+    parts: Sequence[Tuple[np.ndarray, np.ndarray]],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Union-of-candidates BM25 accumulation — the default scorer's core.
+
+    ``parts``: one ``(doc_ids ascending, f32 contributions)`` pair per
+    present query term, in QUERY-TERM ORDER.  Returns ``(unique docs
+    ascending, f32 score sums, per-doc match counts)``.
+
+    Memory is O(total matched postings), never O(doc space): a rare term
+    over a 10^8-doc shard touches only its own candidates, where the old
+    dense ``np.zeros(n_docs)`` accumulator paid an alloc+zero+scatter over
+    every doc the searcher holds per query.
+
+    f32-exact vs that dense accumulator: each doc's contributions are
+    added with sequential in-place f32 adds (``acc[idx] += sc``) in term
+    order — the same op order the dense path used (the technique proven in
+    search/wand.py).  ``np.add.reduceat`` is deliberately NOT used: it
+    accumulates in extended precision and breaks bit-exact parity by 1 ulp.
+    """
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32),
+                np.empty(0, dtype=np.int32))
+    if len(parts) == 1:
+        docs, sc = parts[0]
+        return docs, sc.astype(np.float32, copy=False), np.ones(
+            len(docs), dtype=np.int32)
+    u = np.unique(np.concatenate([d for d, _ in parts]))
+    acc = np.zeros(len(u), dtype=np.float32)
+    cnt = np.zeros(len(u), dtype=np.int32)
+    for docs, sc in parts:
+        idx = np.searchsorted(u, docs)
+        acc[idx] += sc
+        cnt[idx] += 1
+    return u, acc, cnt
+
+
 def merge_topk(hits: Sequence[TopHit], k: int) -> List[TopHit]:
     """merge_fruits: sort (score desc, (seg, doc) asc), truncate k
     (reference src/collector/mod.rs:167-180)."""
@@ -54,30 +92,30 @@ class SegmentSearcher:
     def score_exhaustive(
         self, terms: Sequence[str], weights: Sequence[Bm25Weight], mode: str
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """→ (matching doc ids ascending, f32 scores)."""
-        n_docs = self.reader.num_docs
+        """→ (matching doc ids ascending, f32 scores).
+
+        Candidate-sparse: memory is O(matched postings), never
+        O(segment docs) — see ``_sparse_accumulate``."""
         fids = self.reader.fieldnorm_ids
-        acc = np.zeros(n_docs, dtype=np.float32)
-        match_count = np.zeros(n_docs, dtype=np.int32)
-        n_present = 0
+        parts = []
         for term, w in zip(terms, weights):
             p = self.reader.postings(term)
             if p is None:
                 continue
-            n_present += 1
             docs, tfs = p
-            acc[docs] += w.score(fids[docs], tfs)
-            match_count[docs] += 1
+            parts.append((docs, w.score(fids[docs], tfs)))
+        if mode == "and" and len(parts) < len(terms):
+            return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float32)
+        cand, scores, nmatch = _sparse_accumulate(parts)
         if mode == "and":
-            if n_present < len(terms):
-                return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float32)
-            cand = np.flatnonzero(match_count == len(terms)).astype(np.uint32)
-        else:
-            cand = np.flatnonzero(match_count > 0).astype(np.uint32)
+            keep = nmatch == len(terms)
+            cand, scores = cand[keep], scores[keep]
+        cand = cand.astype(np.uint32)
         alive = self.reader.alive_mask
         if alive is not None and len(cand):
-            cand = cand[alive[cand]]
-        return cand, acc[cand]
+            keep = alive[cand]
+            cand, scores = cand[keep], scores[keep]
+        return cand, scores
 
     def topk(
         self,
@@ -240,39 +278,36 @@ class IndexSearcher:
         return merge_topk(hits, k)
 
     def _search_global(self, terms, weights, mode: str, k: int) -> List[TopHit]:
-        """Exhaustive scoring over the concatenated global doc space —
+        """Candidate-sparse scoring over the concatenated global doc space —
         identical results to per-segment scoring + merge (same f32 ops per
         doc in term order; global doc order == DocAddress order).
 
-        Memory: one f32 + one i32 accumulator over THIS SEARCHER's docs —
-        bounded by the shard a searcher actor holds (millions), never the
-        whole corpus; at 10^12 docs the sharded pipeline splits segments
-        across actors and each runs this path over its own shard."""
+        Memory: O(matched postings) for the query — a rare term over a
+        shard of 10^8 docs touches only its candidates; the dense
+        O(shard-docs) accumulator this replaces paid ~0.5 GB of zeroed +
+        scattered memory per query at that scale."""
         gv = self._global_view()
-        n = int(gv["bases"][-1])
         fids = gv["fids"]
-        acc = np.zeros(n, dtype=np.float32)
-        match_count = np.zeros(n, dtype=np.int32)
         n_present = 0
+        parts = []
         for term, w in zip(terms, weights):
             p = self._global_postings(term)
             if p is None:
                 continue
             n_present += 1
             docs, tfs = p
-            acc[docs] += w.score(fids[docs], tfs)
-            match_count[docs] += 1
+            parts.append((docs, w.score(fids[docs], tfs)))
+        if mode == "and" and n_present < len(terms):
+            return []
+        cand, scores, nmatch = _sparse_accumulate(parts)
         if mode == "and":
-            if n_present < len(terms):
-                return []
-            cand = np.flatnonzero(match_count == len(terms))
-        else:
-            cand = np.flatnonzero(match_count > 0)
+            keep = nmatch == len(terms)
+            cand, scores = cand[keep], scores[keep]
         if gv["alive"] is not None and len(cand):
-            cand = cand[gv["alive"][cand]]
+            keep = gv["alive"][cand]
+            cand, scores = cand[keep], scores[keep]
         if len(cand) == 0:
             return []
-        scores = acc[cand]
         if len(cand) > k:
             kth = np.partition(scores, len(scores) - k)[len(scores) - k]
             keep = scores >= kth

@@ -138,6 +138,15 @@ class IndexWriter:
             segments=[metas[o] for o in sorted(metas)],
         )
         write_manifest(self.index_dir, manifest)
+        # apply queued deletes BEFORE stamping the opstamp: stamping first
+        # would let a crash in between publish a manifest that claims the
+        # delete ops durable while their tombstones were never written, and
+        # a resumed writer would silently skip them.  This order is safe —
+        # a crash after the deletes but before the stamp just re-applies
+        # them on resume (delete-by-term is idempotent).
+        for term in self._pending_deletes:
+            _delete_by_term(self.index_dir, term)
+        self._pending_deletes.clear()
         # stamp the manifest with the last durable opstamp (atomic: the
         # manifest rewrite below replaces the file written above)
         import json as _json
@@ -150,8 +159,5 @@ class IndexWriter:
         with open(tmp, "w") as f:
             _json.dump(d, f, indent=1)
         os.replace(tmp, p)
-        for term in self._pending_deletes:
-            _delete_by_term(self.index_dir, term)
-        self._pending_deletes.clear()
         self._committed_opstamp = self._opstamp
         return load_manifest(self.index_dir)

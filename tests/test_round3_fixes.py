@@ -1,0 +1,185 @@
+"""Round-3 regression tests: ADVICE fixes + the candidate-sparse default
+scorer's no-dense-allocation guarantee (VERDICT r2 item 1)."""
+
+import tracemalloc
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tantivy_ray.aggregations import run_aggregations
+from tantivy_ray.search import IndexSearcher
+
+from test_search import CORPUS, build_test_index, oracle_topk
+
+
+# ---------------------------------------------------------------- scorer
+
+
+class TestSparseScorer:
+    """The default (non-WAND) scorer must never allocate O(shard-docs)."""
+
+    @pytest.fixture(scope="class")
+    def big_sparse_index(self, tmp_path_factory):
+        # two segments x 60k docs; two rare terms match ~20 docs each.
+        # A dense accumulator would be 120k * (4+4) bytes ~= 0.96 MB per
+        # query; the sparse path should stay under a few hundred KB.
+        rng = np.random.default_rng(7)
+        segs = []
+        for si in range(2):
+            texts = []
+            for i in range(60_000):
+                toks = ["common", f"w{rng.integers(0, 50)}"]
+                if i % 3000 == si:  # ~20 docs per segment
+                    toks.append("rareone" if si == 0 else "raretwo")
+                    toks.append("rareboth")
+                texts.append(" ".join(toks))
+            segs.append(texts)
+        return build_test_index(tmp_path_factory.mktemp("sparse"), segs), segs
+
+    def test_sparse_query_peak_alloc(self, big_sparse_index):
+        idx, _segs = big_sparse_index
+        s = IndexSearcher(idx)
+        # warm up: builds the global view (fids concat, O(n) ONCE at
+        # searcher setup — amortized state, not per-query cost)
+        s.search(["rareone"], "or", 10)
+        tracemalloc.start()
+        try:
+            tracemalloc.reset_peak()
+            base = tracemalloc.get_traced_memory()[0]
+            hits = s.search(["raretwo", "rareboth"], "or", 10)
+            peak = tracemalloc.get_traced_memory()[1]
+        finally:
+            tracemalloc.stop()
+        assert len(hits) == 10
+        # dense would add ~0.96 MB; sparse touches ~40 candidate postings
+        assert peak - base < 300_000, (
+            f"query allocated {peak - base} bytes — dense accumulator?")
+
+    def test_sparse_matches_oracle(self, big_sparse_index):
+        idx, segs = big_sparse_index
+        s = IndexSearcher(idx)
+        for terms, mode in [(["rareone", "rareboth"], "or"),
+                            (["rareboth"], "or"),
+                            (["rareone", "rareboth"], "and")]:
+            got = s.search(terms, mode, 15)
+            want = oracle_topk(segs, terms, mode, 15)
+            assert [(g[1], g[2]) for g in got] == [(w[1], w[2]) for w in want]
+            for g, w in zip(got, want):
+                assert np.float32(g[0]) == np.float32(w[0])
+
+
+# ------------------------------------------------------------ histogram
+
+
+def _agg_over(rows, aggs):
+    import ray.data as rd
+
+    ds = rd.from_items(rows)
+    return run_aggregations(ds, aggs)
+
+
+class TestHistogramFractionalInterval:
+    def test_fractional_interval_gap_fill_keeps_real_buckets(self, ray_session):
+        # ADVICE repro: interval=0.1, values [0.15, 0.65] -> float-key grid
+        # matching dropped the real buckets (1 ulp mismatch)
+        res = _agg_over(
+            [{"v": 0.15}, {"v": 0.65}],
+            {"h": {"histogram": {"field": "v", "interval": 0.1,
+                                 "min_doc_count": 0}}},
+        )
+        buckets = res["h"]["buckets"]
+        assert len(buckets) == 6  # 0.1 .. 0.6
+        assert [b["doc_count"] for b in buckets] == [1, 0, 0, 0, 0, 1]
+        assert buckets[0]["key"] == pytest.approx(0.1)
+        assert buckets[-1]["key"] == pytest.approx(0.6)
+
+    def test_fractional_interval_with_offset_and_bounds(self, ray_session):
+        res = _agg_over(
+            [{"v": 0.17}, {"v": 0.47}],
+            {"h": {"histogram": {"field": "v", "interval": 0.1,
+                                 "offset": 0.05,
+                                 "extended_bounds": {"min": 0.0,
+                                                     "max": 0.6}}}},
+        )
+        buckets = res["h"]["buckets"]
+        # grid: -0.05, 0.05, ..., 0.55 — ext bounds floored WITH the offset
+        assert buckets[0]["key"] == pytest.approx(-0.05)
+        assert buckets[-1]["key"] == pytest.approx(0.55)
+        assert sum(b["doc_count"] for b in buckets) == 2
+        hot = [b["key"] for b in buckets if b["doc_count"] == 1]
+        assert hot == [pytest.approx(0.15), pytest.approx(0.45)]
+
+
+class TestTermsOrder:
+    def test_count_desc_ties_break_key_asc(self, ray_session):
+        rows = [{"t": x} for x in ["b", "a", "c", "a", "b", "c", "a"]]
+        res = _agg_over(
+            rows,
+            {"t": {"terms": {"field": "t", "size": 10,
+                             "order": {"_count": "desc"}}}},
+        )
+        keys = [b["key"] for b in res["t"]["buckets"]]
+        assert keys == ["a", "b", "c"]  # a=3 first; b/c tie -> key ASC
+
+    def test_key_order_numeric_native(self, ray_session):
+        rows = [{"n": x} for x in [10, 2, 1, 10, 2]]
+        res = _agg_over(
+            rows,
+            {"t": {"terms": {"field": "n", "size": 10,
+                             "order": {"_key": "asc"}}}},
+        )
+        keys = [b["key"] for b in res["t"]["buckets"]]
+        assert keys == [1, 2, 10]  # not the lexicographic [1, 10, 2]
+
+
+# ----------------------------------------------------------- search_pipeline
+
+
+def test_single_pool_true_with_one_shard(tmp_path, ray_session):
+    from tantivy_ray.pipelines.search_pipeline import search_pipeline
+
+    idx = build_test_index(tmp_path, CORPUS)
+    queries = [(0, ["fox", "dog"], "or", 5), (1, ["quick"], "or", 3)]
+    want = search_pipeline(idx, queries, num_shards=1, concurrency=1)
+    got = search_pipeline(idx, queries, num_shards=1, concurrency=1,
+                          single_pool=True)  # previously KeyError'd
+    assert got.column_names == want.column_names
+    assert got.to_pydict() == want.to_pydict()
+
+
+# ----------------------------------------------------------------- writer
+
+
+def test_commit_applies_deletes_before_stamping(tmp_path, monkeypatch):
+    import tantivy_ray.sources.writer as wmod
+    from tantivy_ray.sources.writer import IndexWriter
+
+    idx = str(tmp_path / "wx")
+    w = IndexWriter(idx, docs_per_segment=10)
+    for i in range(4):
+        w.add_document({"url": f"u{i}", "text": f"alpha beta doc{i}"})
+    w.commit()
+
+    w.delete_by_term("doc1")
+    delete_stamp = w.opstamp
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before tombstone write")
+
+    monkeypatch.setattr(wmod, "_delete_by_term", boom)
+    with pytest.raises(RuntimeError):
+        w.commit()
+    monkeypatch.undo()
+
+    # the manifest must NOT claim the delete op durable: a fresh writer
+    # resumes from a committed stamp strictly below the delete's stamp
+    w2 = IndexWriter(idx)
+    assert w2.committed_opstamp < delete_stamp
+
+    # and re-running the commit (tombstone write now succeeding) applies it
+    w.commit()
+    s = IndexSearcher(idx)
+    hits = s.search(["doc1"], "or", 5)
+    assert hits == []
+    assert IndexWriter(idx).committed_opstamp >= delete_stamp
