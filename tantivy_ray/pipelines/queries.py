@@ -80,22 +80,35 @@ SQL_TOKEN_COUNTS = (
 # 2. term doc freqs (partial-per-batch + small groupby — SURVEY §2.5)
 # ----------------------------------------------------------------------
 
+def _term_df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (term, df_part): fully vectorized — dictionary-encode the
+    flat token stream to integer codes, dedupe (code, doc) pairs with one
+    np.unique over a packed int64 key, then bincount codes.  (The round-2
+    pandas drop_duplicates + groupby on object-dtype strings dominated the
+    stage's UDF time.)"""
+    out = analyze_batch(batch.column("text"), "default")
+    toks = out.tokens.values
+    if len(toks) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "df_part": pa.array([], type=pa.int64())})
+    enc = toks.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    vocab = enc.dictionary
+    docs = np.repeat(np.arange(len(batch), dtype=np.int64), out.num_tokens)
+    pairs = np.unique(codes * len(batch) + docs)
+    dfs = np.bincount((pairs // len(batch)).astype(np.int64),
+                      minlength=len(vocab))
+    return pa.table({"term": vocab,
+                     "df_part": pa.array(dfs, type=pa.int64())})
+
+
 def q_term_doc_freqs(sf_dir: str) -> pa.Table:
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        out = analyze_batch(batch.column("text"), "default")
-        flat = out.tokens.values.to_pandas()
-        docs = np.repeat(np.arange(len(batch), dtype=np.int64),
-                         out.num_tokens)
-        df = pd.DataFrame({"term": flat, "doc": docs}).drop_duplicates()
-        part = df.groupby("term", sort=False).size().reset_index(name="df_part")
-        return pa.Table.from_pandas(part, preserve_index=False)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+    partials = ds.map_batches(_term_df_partial, batch_format="pyarrow",
+                              **remote_args())
     agg = partials.groupby("term").aggregate(Sum("df_part", alias_name="doc_freq"))
     pdf = agg.to_pandas()
     pdf["doc_freq"] = pdf["doc_freq"].astype("int64")
@@ -157,16 +170,8 @@ def q_top_terms(sf_dir: str, n: int = 20) -> pa.Table:
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        out = analyze_batch(batch.column("text"), "default")
-        flat = out.tokens.values.to_pandas()
-        docs = np.repeat(np.arange(len(batch), dtype=np.int64),
-                         out.num_tokens)
-        df = pd.DataFrame({"term": flat, "doc": docs}).drop_duplicates()
-        part = df.groupby("term", sort=False).size().reset_index(name="df_part")
-        return pa.Table.from_pandas(part, preserve_index=False)
-
-    agg = (ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+    agg = (ds.map_batches(_term_df_partial, batch_format="pyarrow",
+                          **remote_args())
            .groupby("term").aggregate(Sum("df_part", alias_name="doc_freq")))
 
     def topn_block(t: pa.Table) -> pa.Table:

@@ -1,3 +1,4 @@
+from .pool import SearcherPool  # noqa: F401
 from .reader import IndexReader, ReloadPolicy  # noqa: F401
 from .searcher import (  # noqa: F401
     IndexSearcher,

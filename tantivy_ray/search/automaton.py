@@ -153,20 +153,39 @@ class RegexAutomaton:
     """Compiles a practical regex subset to an NFA and determinizes it
     lazily.  Supported: literals, escapes of metachars, ``.`` (any char
     but newline, like python re), classes ``[a-z0-9_]`` / ``[^...]``,
-    groups, alternation, ``* + ? {m} {m,n} {m,}``.  Anything else
-    (backrefs, lookaround, class escapes like ``\\d``, flags) raises
-    UnsupportedRegex.  Matching is fullmatch, mirroring python
-    ``re.fullmatch`` used by the round-1 scan path."""
+    predefined classes ``\\d \\w \\s \\D \\W \\S`` (both top-level and
+    inside ``[...]``, python-`re` Unicode semantics: ``Py_UNICODE_ISDIGIT``
+    / ``isalnum()+'_'`` / ``isspace()``), leading inline flags ``(?i)`` /
+    ``(?s)``, groups, alternation, ``* + ? {m} {m,n} {m,}``.  Anything
+    else (backrefs, lookaround, other flags) raises UnsupportedRegex.
+    Matching is fullmatch, mirroring python ``re.fullmatch`` used by the
+    fallback scan path.  (The reference's regex automaton supports these
+    classes too — src/query/regex_query.rs:57 via tantivy-fst/regex-syntax.)
+    """
 
     def __init__(self, pattern: str):
         self.pattern = pattern
+        self.ignorecase = False
+        self.dotall = False
+        # leading inline flags group: (?i) (?s) (?is)
+        while self.pattern.startswith("(?") and len(self.pattern) > 2 \
+                and self.pattern[2] not in ":P=!<":
+            end = self.pattern.find(")")
+            if end < 0:
+                raise UnsupportedRegex("unclosed flags group")
+            flags = self.pattern[2:end]
+            if not flags or not set(flags) <= {"i", "s"}:
+                raise UnsupportedRegex(f"flags (?{flags})")
+            self.ignorecase |= "i" in flags
+            self.dotall |= "s" in flags
+            self.pattern = self.pattern[end + 1:]
         # NFA: states are ints; edges[s] = list[(pred, dst)];
         # eps[s] = list[dst].  pred: ('ch', c) | ('any',) | ('cls', ranges, neg)
         self.edges: List[list] = []
         self.eps: List[list] = []
         self._pos = 0
         start, accept = self._parse_alt()
-        if self._pos != len(pattern):
+        if self._pos != len(self.pattern):
             raise UnsupportedRegex(f"trailing input at {self._pos}")
         self.nfa_start, self.nfa_accept = start, accept
         self._cache: dict = {}
@@ -214,16 +233,46 @@ class RegexAutomaton:
         return frozenset(seen)
 
     @staticmethod
-    def _pred_match(pred, ch: str) -> bool:
+    def _cat_match(cat: str, ch: str) -> bool:
+        """Predefined-class membership with python-re Unicode semantics:
+        \\d == Py_UNICODE_ISDIGIT == str.isdigit; \\w == isalnum or '_';
+        \\s == isspace (CPython sre CATEGORY_UNI_* definitions)."""
+        base = cat.lower()
+        if base == "d":
+            hit = ch.isdigit()
+        elif base == "s":
+            hit = ch.isspace()
+        else:  # w
+            hit = ch.isalnum() or ch == "_"
+        return hit != cat.isupper()
+
+    def _pred_match(self, pred, ch: str) -> bool:
         kind = pred[0]
         if kind == "ch":
+            if self.ignorecase:
+                return ch.lower() == pred[1].lower()
             return ch == pred[1]
         if kind == "any":
-            return ch != "\n"
+            return self.dotall or ch != "\n"
+        if kind == "cat":
+            return self._cat_match(pred[1], ch)
         ranges, neg = pred[1], pred[2]
-        o = ord(ch)
-        inside = any(a <= o <= b for a, b in ranges)
-        return inside != neg
+        cats = pred[3] if len(pred) > 3 else ()
+
+        def inside(x: str) -> bool:
+            o = ord(x)
+            if any(a <= o <= b for a, b in ranges):
+                return True
+            return any(self._cat_match(c, x) for c in cats)
+
+        hit = inside(ch)
+        if self.ignorecase and not hit:
+            for v in (ch.lower(), ch.upper()):
+                # len guard: some case mappings expand ('İ'.lower() is 2 chars)
+                if v != ch and len(v) == 1 and inside(v):
+                    hit = True
+                    break
+        return hit != neg
 
     # --- recursive-descent parser (frag = (start, accept)) ---
     def _peek(self) -> Optional[str]:
@@ -385,6 +434,9 @@ class RegexAutomaton:
             if e in simple:
                 self._pos += 1
                 return self._edge_frag(("ch", simple[e]))
+            if e in "dwsDWS":
+                self._pos += 1
+                return self._edge_frag(("cat", e))
             raise UnsupportedRegex(f"escape \\{e}")
         if c in "*+?{":
             raise UnsupportedRegex(f"dangling quantifier {c!r}")
@@ -401,6 +453,7 @@ class RegexAutomaton:
             neg = True
             self._pos += 1
         ranges: List[Tuple[int, int]] = []
+        cats: List[str] = []
         first = True
         while True:
             c = self._peek()
@@ -417,7 +470,16 @@ class RegexAutomaton:
                     raise UnsupportedRegex("trailing backslash in class")
                 if c in ("n", "t", "r"):
                     c = {"n": "\n", "t": "\t", "r": "\r"}[c]
-                elif c.isalnum():   # \d \w \s ... -> fall back to re
+                elif c in "dwsDWS":  # predefined class inside [...]
+                    self._pos += 1
+                    if self._peek() == "-" and \
+                            self.pattern[self._pos + 1:self._pos + 2] \
+                            not in ("]", ""):
+                        # re rejects ranges starting at a class escape
+                        raise UnsupportedRegex("bad character range")
+                    cats.append(c)
+                    continue
+                elif c.isalnum():   # \b, \x41, ... -> fall back to re
                     raise UnsupportedRegex(f"class escape \\{c}")
             self._pos += 1
             if self._peek() == "-" and self.pattern[self._pos + 1:self._pos + 2] not in ("]", ""):
@@ -429,7 +491,7 @@ class RegexAutomaton:
                 ranges.append((ord(c), ord(hi)))
             else:
                 ranges.append((ord(c), ord(c)))
-        return ("cls", tuple(ranges), neg)
+        return ("cls", tuple(ranges), neg, tuple(cats))
 
     def _edge_frag(self, pred) -> Tuple[int, int]:
         s, a = self._new_state(), self._new_state()

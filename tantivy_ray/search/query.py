@@ -238,9 +238,11 @@ def expand_fuzzy(reader: SegmentReader, q: FuzzyTermQuery) -> List[str]:
 def expand_regex(reader: SegmentReader, pattern: str) -> List[str]:
     """Regex-automaton x sorted-term-dict intersection (reference
     src/query/regex_query.rs:57 intersects a tantivy-fst regex automaton
-    with the term dict).  Patterns outside the compiled subset
-    (backrefs, lookaround, class escapes) fall back to a full-vocab scan
-    with python `re` — the semantics source of truth."""
+    with the term dict).  Predefined classes (\\d \\w \\s + negations,
+    in-class forms) and leading (?i)/(?s) flags compile into the
+    automaton; only patterns outside the compiled subset (backrefs,
+    lookaround, anchors, \\b) fall back to a full-vocab scan with python
+    `re` — the semantics source of truth."""
     from .automaton import (RegexAutomaton, UnsupportedRegex,
                             intersect_sorted_terms)
 

@@ -113,9 +113,38 @@ class TestRegexParity:
             assert got == exp, pat
 
     def test_unsupported_raises(self):
-        for pat in [r"\d+", r"(a)\1", r"a(?=b)", r"^abc$", r"a{1000}"]:
+        for pat in [r"(a)\1", r"a(?=b)", r"^abc$", r"a{1000}", r"(?m)a",
+                    r"[\b]", r"\baz"]:
             with pytest.raises(UnsupportedRegex):
                 RegexAutomaton(pat)
+
+
+class TestPredefinedClasses:
+    """Round-3: \\d \\w \\s (+ negations, in-class forms) and leading
+    (?i)/(?s) flags compile into the automaton instead of falling back to
+    the O(vocab) `re` scan (reference src/query/regex_query.rs:57 —
+    tantivy-fst regex supports these classes)."""
+
+    VOCAB = sorted({
+        "a1", "ab", "a_b", "x9z", "42", "007", "tab", "TAB", "TaB",
+        "Tab9", "under_score", "n o", "tab\ttab", "line\nfeed",
+        "٣٤", "foo٣", "Ü", "ü", "üb", "ÜB", "mixed42x", "_", "-", "a-b",
+        "", "zz z",
+    })
+
+    @pytest.mark.parametrize("pat", [
+        r"\d+", r"\w+", r"\s", r"\S+", r"\D+", r"\W",
+        r"[a-z]\w*", r"a\db?", r"[\d]+", r"[\w-]+", r"[^\d]+",
+        r"[\s\d]+", r"\w+\s\w+", r"tab\s?tab", r"(?i)tab", r"(?i)TaB\d?",
+        r"(?i)[a-c]a?b", r"(?s).+", r"(?is)ü.?", r"\d{2,3}",
+    ])
+    def test_parity_with_re(self, pat):
+        arr = pa.array(self.VOCAB, type=pa.string())
+        aut = RegexAutomaton(pat)  # must NOT raise UnsupportedRegex
+        got = [self.VOCAB[i] for i in intersect_sorted_terms(arr, aut)]
+        rx = re.compile(pat)
+        exp = [t for t in self.VOCAB if rx.fullmatch(t)]
+        assert got == exp, pat
 
 
 class TestSublinearProbes:
@@ -164,6 +193,21 @@ class TestSublinearProbes:
         rx = re.compile("wind[oa]w(s|ing)?")
         exp = [t for t in vocab if rx.fullmatch(t)]
         assert got == exp
+        assert counter[0] < len(vocab) // 100, counter[0]
+
+    def test_digit_class_sublinear(self, big_arr):
+        """VERDICT round-3 'done' criterion: a \\d+-style pattern compiles
+        (no O(vocab) `re` fallback) and probes stay sub-linear."""
+        vocab, arr = big_arr
+        base = next(t[:-4] for t in vocab if t[-4:].isdigit())
+        pat = re.escape(base) + r"\d+"
+        counter = [0]
+        aut = RegexAutomaton(pat)
+        got = [vocab[i] for i in intersect_sorted_terms(arr, aut, counter)]
+        rx = re.compile(pat)
+        exp = [t for t in vocab if rx.fullmatch(t)]
+        assert got == exp and len(got) >= 900
+        # probes ~ matched subtree, not vocabulary size
         assert counter[0] < len(vocab) // 100, counter[0]
 
 

@@ -148,6 +148,33 @@ def test_single_pool_true_with_one_shard(tmp_path, ray_session):
     assert got.to_pydict() == want.to_pydict()
 
 
+def test_searcher_pool_parity(tmp_path, ray_session):
+    """SearcherPool (persistent serving pool) == search_pipeline
+    (per-execution Ray Data actor pool), f32/rank-identical."""
+    from tantivy_ray.pipelines.search_pipeline import search_pipeline
+    from tantivy_ray.search import SearcherPool
+
+    idx = build_test_index(tmp_path, CORPUS)
+    queries = [
+        (0, ["fox", "dog"], "or", 5),
+        (1, ["quick"], "or", 3),
+        (2, ["the", "quick"], "and", 10),
+        (3, ["zzz"], "or", 5),
+        (4, ["quick", "brown", "fox"], "or", 10),
+    ]
+    want = search_pipeline(idx, queries, num_shards=1, concurrency=1)
+    pool = SearcherPool(idx, size=2)
+    pool.warm()
+    try:
+        got = pool.search_batch(queries)
+        # a second call reuses the same warm actors
+        again = pool.search_batch(queries)
+    finally:
+        pool.close()
+    assert got.to_pydict() == want.to_pydict()
+    assert again.to_pydict() == want.to_pydict()
+
+
 # ----------------------------------------------------------------- writer
 
 
