@@ -84,14 +84,32 @@ class ExplodeSegment:
 
     def _decode_rows(self, reader, ords, base: int, rows: Dict) -> None:
         """Decode-path fragments (head terms / tombstoned segments):
-        raw global doc/tf/fid arrays, chunked to salt_block_docs."""
+        raw global doc/tf/fid arrays, chunked to salt_block_docs.
+
+        Positions pass through as raw uint32 delta streams: the stream
+        resets to an absolute value at every posting boundary, so slicing
+        at posting boundaries (chunking, tombstone filtering) never needs
+        a re-encode — only the byte ranges move."""
         alive = reader.alive_mask
         arr = reader.term_array()
+        has_pos = reader._positions_blob is not None
         for o in ords:
             term = arr[int(o)].as_py()
             docs, tfs = reader.postings(term)
+            raw_pos = None
+            if has_pos and reader._pos_off[int(o)] >= 0:
+                s0 = int(reader._pos_off[int(o)])
+                raw_pos = np.frombuffer(
+                    reader._positions_blob[
+                        s0:s0 + int(reader._pos_len[int(o)])],
+                    dtype=np.uint32)
+                # posting boundaries in the position stream (pre-filter)
+                bounds = np.concatenate(
+                    ([0], np.cumsum(tfs.astype(np.int64))))
+            kept_idx = None
             if alive is not None and len(docs):
                 keep = alive[docs]
+                kept_idx = np.flatnonzero(keep)
                 docs, tfs = docs[keep], tfs[keep]
                 if len(docs) == 0:
                     continue
@@ -113,6 +131,16 @@ class ExplodeSegment:
                 rows["docs"].append(chunk.astype(np.int64).tobytes())
                 rows["tfs"].append(tfs[start:end].tobytes())
                 rows["fids"].append(fids[start:end].tobytes())
+                if raw_pos is None:
+                    rows["pos"].append(b"")
+                elif kept_idx is None:
+                    rows["pos"].append(
+                        raw_pos[bounds[start]:bounds[end]].tobytes())
+                else:
+                    sel = kept_idx[start:end]
+                    rows["pos"].append(np.concatenate(
+                        [raw_pos[bounds[i]:bounds[i + 1]] for i in sel]
+                    ).tobytes() if len(sel) else b"")
 
     def __call__(self, batch: pd.DataFrame) -> Iterator[pa.Table]:
         bases = self._doc_bases()
@@ -134,7 +162,7 @@ class ExplodeSegment:
             rows: Dict[str, list] = {k: [] for k in (
                 "group_key", "term", "salt", "doc_freq", "first_doc",
                 "last_doc", "doc_base", "segment_ord", "blob",
-                "docs", "tfs", "fids",
+                "docs", "tfs", "fids", "pos",
             )}
             # decode path: head terms, or everything when tombstones /
             # missing bounds force it
@@ -168,6 +196,17 @@ class ExplodeSegment:
                 lens = reader._len[fast_ords]
                 blobs = [bytes(mv[o:o + l]) for o, l in zip(offs, lens)]
                 empty = [b""] * len(fast_ords)
+                if reader._positions_blob is not None:
+                    # positions pass through as raw slices too (doc-local
+                    # token offsets — nothing to rebase)
+                    pmv = memoryview(reader._positions_blob)
+                    pos_blobs = [
+                        bytes(pmv[o:o + l]) if o >= 0 else b""
+                        for o, l in zip(reader._pos_off[fast_ords],
+                                        reader._pos_len[fast_ords])
+                    ]
+                else:
+                    pos_blobs = empty
                 fast_tbl = pa.Table.from_arrays([
                     group_keys,
                     terms,
@@ -182,6 +221,7 @@ class ExplodeSegment:
                     pa.array(empty, type=pa.large_binary()),
                     pa.array(empty, type=pa.large_binary()),
                     pa.array(empty, type=pa.large_binary()),
+                    pa.array(pos_blobs, type=pa.large_binary()),
                 ], schema=_FRAGMENT_SCHEMA)
             else:
                 fast_tbl = None
@@ -205,6 +245,10 @@ _FRAGMENT_SCHEMA = pa.schema([
     ("docs", pa.large_binary()),
     ("tfs", pa.large_binary()),
     ("fids", pa.large_binary()),
+    # raw uint32 per-term position stream (delta within a posting, first
+    # position absolute — reference preserves positions at merge,
+    # src/indexer/merger.rs + src/positions/mod.rs:1-40)
+    ("pos", pa.large_binary()),
 ])
 
 # per-worker fieldnorm mmap cache for the reducer (keyed by segment dir;
@@ -233,6 +277,7 @@ _MERGED_SCHEMA = pa.schema([
     ("last_doc", pa.int64()),
     ("doc_base", pa.int64()),
     ("postings", pa.large_binary()),
+    ("pos", pa.large_binary()),  # uint32 position stream, posting-aligned
 ])
 
 
@@ -276,6 +321,7 @@ def _reduce_fragment_block(tbl: pa.Table, avg_fieldnorm: float,
             fast.column("last_doc").cast(pa.int64()),
             fast.column("doc_base").cast(pa.int64()),
             fast.column("blob").cast(pa.large_binary()),
+            fast.column("pos").cast(pa.large_binary()),
         ], schema=_MERGED_SCHEMA))
 
     slow_starts = starts[~single]
@@ -290,10 +336,11 @@ def _reduce_fragment_block(tbl: pa.Table, avg_fieldnorm: float,
         docs_col = tbl.column("docs")
         tfs_col = tbl.column("tfs")
         fids_col = tbl.column("fids")
+        pos_col = tbl.column("pos") if "pos" in tbl.column_names else None
         rows = {f.name: [] for f in _MERGED_SCHEMA}
         for s, e in zip(slow_starts, ends[~single]):
             idx = np.arange(s, e)[np.argsort(first_np[s:e], kind="stable")]
-            docs_parts, tf_parts, fid_parts = [], [], []
+            docs_parts, tf_parts, fid_parts, pos_parts = [], [], [], []
             for i in idx:
                 i = int(i)
                 blob = blob_col[i].as_py()
@@ -312,9 +359,17 @@ def _reduce_fragment_block(tbl: pa.Table, avg_fieldnorm: float,
                         np.frombuffer(tfs_col[i].as_py(), dtype=np.uint32))
                     fid_parts.append(
                         np.frombuffer(fids_col[i].as_py(), dtype=np.uint8))
+                if pos_col is not None:
+                    pos_parts.append(pos_col[i].as_py() or b"")
             docs = np.concatenate(docs_parts)
             tfs = np.concatenate(tf_parts)
             fids = np.concatenate(fid_parts)
+            # fragment position streams concatenate in the same ascending
+            # first_doc order (each stream is posting-aligned and resets
+            # to absolute at posting boundaries); if ANY fragment lacks
+            # positions the merged term drops them (mixed-build segments)
+            merged_pos = (b"".join(pos_parts)
+                          if pos_parts and all(pos_parts) else b"")
             # ranges are disjoint and each sorted → concat in first_doc
             # order is sorted
             assert (np.diff(docs) > 0).all(), "overlapping salted fragments"
@@ -330,6 +385,7 @@ def _reduce_fragment_block(tbl: pa.Table, avg_fieldnorm: float,
             rows["last_doc"].append(int(docs[-1]))
             rows["doc_base"].append(0)
             rows["postings"].append(blob)
+            rows["pos"].append(merged_pos)
         outs.append(pa.Table.from_pydict(rows, schema=_MERGED_SCHEMA))
     return pa.concat_tables(outs)
 
@@ -465,6 +521,12 @@ class MergedSearcher:
             cand, scores = cand[keep], scores[keep]
         if len(cand) == 0:
             return []
+        return self._topk_hits(cand, scores, k)
+
+    def _topk_hits(self, cand, scores, k: int):
+        """(global docs, f32 scores) → top-k (score, segment_ord,
+        local_doc) with the collector tie rule (score desc, doc asc)."""
+        gv = self._gv
         if len(cand) > k:
             kth = np.partition(scores, len(scores) - k)[len(scores) - k]
             keep = scores >= kth
@@ -477,6 +539,29 @@ class MergedSearcher:
             (float(s), ords[int(si)], int(d - gv["bases"][int(si)]))
             for s, si, d in zip(scores, seg_of, cand)
         ]
+
+    def search_phrase(self, terms, k: int = 10, slop: int = 0):
+        """PhraseQuery served from the MERGED index: positions carried
+        through the merge (pass-through streams), matching f32-identical
+        to IndexSearcher.search_phrase over the source segments
+        (reference preserves positions at merge — src/indexer/merger.rs,
+        src/positions/mod.rs:1-40)."""
+        from ..bm25 import Bm25Weight
+        from ..search.query import phrase_match_counts
+
+        terms = list(terms)
+        dfs = [self.reader.doc_freq(t) for t in terms]
+        if not terms or any(d == 0 for d in dfs):
+            return []
+        # MergedIndexReader duck-types SegmentReader for postings() (global
+        # doc ids) + positions(), so the same matcher serves both layouts
+        docs, tfs = phrase_match_counts(self.reader, terms, slop)
+        if len(docs) == 0:
+            return []
+        w = Bm25Weight.for_terms(dfs, self.total_num_docs,
+                                 self.average_fieldnorm)
+        scores = w.score(self._gv["fids"][docs], tfs)
+        return self._topk_hits(docs, scores, k)
 
 
 def _stats_fragments(stats_dir: str):
@@ -540,16 +625,20 @@ class MergedIndexReader:
     def has_term(self, term: str) -> bool:
         return self.doc_freq(term) > 0
 
-    def postings(self, term: str):
-        """→ (global_docs, tfs) or None.  Reads are pruned to the files /
-        row groups whose [min_term, max_term] parquet statistics can
-        contain the term (the output is term-range sorted); legacy
-        hash-bucket layouts prune by bucket directory."""
+    def _term_rows(self, term: str):
+        """Salted rows for a term, ascending first_doc order:
+        [(first_doc, postings_blob, doc_base, pos_stream)].  Reads are
+        pruned to the files / row groups whose [min_term, max_term]
+        parquet statistics can contain the term (the output is term-range
+        sorted); legacy hash-bucket layouts prune by bucket directory."""
         import pyarrow.dataset as pads
         import zlib
 
-        if not self.has_term(term):
-            return None
+        hit = getattr(self, "_row_cache", None)
+        if hit is None:
+            hit = self._row_cache = {}
+        if term in hit:
+            return hit[term]
         parts = os.path.join(self.merged_dir, "parts")
         if self._legacy_buckets:
             bucket = zlib.crc32(term.encode()) % self.meta["num_buckets"]
@@ -560,15 +649,30 @@ class MergedIndexReader:
             dset = self._parts_dset
         t = dset.to_table(filter=pads.field("term") == term)
         if t.num_rows == 0:
+            rows = None
+        else:
+            bases = (t.column("doc_base").to_pylist()
+                     if "doc_base" in t.column_names else [0] * t.num_rows)
+            poss = (t.column("pos").to_pylist()
+                    if "pos" in t.column_names else [b""] * t.num_rows)
+            rows = sorted(zip(
+                t.column("first_doc").to_pylist(),
+                t.column("postings").to_pylist(), bases, poss,
+            ), key=lambda r: r[0])
+        if len(hit) > 256:
+            hit.pop(next(iter(hit)))
+        hit[term] = rows
+        return rows
+
+    def postings(self, term: str):
+        """→ (global_docs, tfs) or None."""
+        if not self.has_term(term):
             return None
-        bases = (t.column("doc_base").to_pylist()
-                 if "doc_base" in t.column_names else [0] * t.num_rows)
-        rows = sorted(
-            zip(t.column("first_doc").to_pylist(),
-                t.column("postings").to_pylist(), bases),
-        )
+        rows = self._term_rows(term)
+        if rows is None:
+            return None
         docs_parts, tf_parts = [], []
-        for _, blob, base in rows:
+        for _, blob, base, _pos in rows:
             r = TermPostingsReader(np.frombuffer(blob, dtype=np.uint8))
             d, tf = r.decode_all()
             # pass-through fragments store segment-local doc ids + base
@@ -576,3 +680,31 @@ class MergedIndexReader:
                               else d.astype(np.int64))
             tf_parts.append(tf)
         return np.concatenate(docs_parts), np.concatenate(tf_parts)
+
+    def positions(self, term: str):
+        """Per-posting position arrays (absolute, doc order) from the
+        merged position streams — same decode as SegmentReader.positions
+        (delta within a posting, absolute at posting boundaries), so the
+        merged index can serve PhraseQuery.  None when any contributing
+        fragment was built without positions."""
+        if not self.has_term(term):
+            return None
+        rows = self._term_rows(term)
+        if rows is None:
+            return None
+        streams = [r[3] or b"" for r in rows]
+        if not all(streams):
+            return None
+        raw = np.frombuffer(b"".join(streams), dtype=np.uint32)
+        p = self.postings(term)
+        if p is None:
+            return None
+        _, tfs = p
+        if int(tfs.sum()) != len(raw):
+            return None  # stream/posting misalignment: refuse to serve
+        out = []
+        idx = 0
+        for tf in tfs:
+            out.append(np.cumsum(raw[idx:idx + int(tf)], dtype=np.uint32))
+            idx += int(tf)
+        return out

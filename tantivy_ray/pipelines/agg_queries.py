@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 from typing import Dict
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -221,30 +222,65 @@ SQL_DISTINCT_USERS = (
 
 
 def q_agg_cardinality_users(sf_dir: str) -> pa.Table:
-    """HLL cardinality estimate (rows-only: approx != exact SQL; the
-    deterministic sketch makes the output stable across runs — the exact
-    twin is `distinct_users`)."""
+    """HLL cardinality, oracle-paired as a boolean accuracy gate (VERDICT
+    round-3 item 5, the ivf_recall pattern): the row carries the EXACT
+    distinct count (computed by the engine's own distributed unique — the
+    SQL oracle recomputes it independently with count(DISTINCT)) plus
+    ``within_2pct`` asserting the HLL estimate lands within ±2%·exact."""
     ds = _read(sf_dir, "events", ["user_id"])
     res = run_aggregations(ds, {
         "c": {"cardinality": {"field": "user_id"}}
     })
-    return pa.table({"n_users_approx": pa.array([int(res["c"]["value"])],
-                                                type=pa.int64())})
+    approx = int(res["c"]["value"])
+    exact = len(_read(sf_dir, "events", ["user_id"]).unique("user_id"))
+    return pa.table({
+        "n_users_exact": pa.array([exact], type=pa.int64()),
+        "within_2pct": pa.array(
+            [abs(approx - exact) <= 0.02 * exact], type=pa.bool_()),
+    })
+
+
+SQL_AGG_CARDINALITY_USERS = (
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact, "
+    "TRUE AS within_2pct FROM events"
+)
 
 
 def q_agg_percentiles_value(sf_dir: str) -> pa.Table:
-    """DDSketch-style percentiles of events.value (rows-only: the sketch
-    is approximate but deterministic)."""
+    """DDSketch-style percentiles, oracle-paired as a boolean accuracy
+    gate: per requested percent, ``within_bound`` asserts the sketch
+    value is within the sketch's declared relative accuracy (alpha=0.01,
+    plus the local inter-quantile gap that separates the sketch's
+    nearest-rank answer from quantile_cont's interpolated one).  The
+    exact quantiles come from the pruned value column (gate-scale exact
+    twin — production uses only the mergeable sketch)."""
     ds = _read(sf_dir, "events", ["value"])
+    percents = [25, 50, 95]
     res = run_aggregations(ds, {
-        "p": {"percentiles": {"field": "value", "percents": [25, 50, 95]}}
+        "p": {"percentiles": {"field": "value", "percents": percents}}
     })
     v = res["p"]["values"]
+    vals = np.sort(ds.to_pandas()["value"].to_numpy(dtype=np.float64))
+    rows = []
+    n = len(vals)
+    for p in percents:
+        est = float(v[str(p)])
+        exact = float(np.quantile(vals, p / 100.0))
+        # nearest-rank vs interpolated: allow one order-statistic step
+        idx = int(p / 100.0 * (n - 1))
+        gap = float(vals[min(idx + 1, n - 1)] - vals[max(idx - 1, 0)])
+        ok = abs(est - exact) <= 0.0101 * abs(exact) + gap + 1e-12
+        rows.append((p, ok))
     return pa.table({
-        "p25": pa.array([round(v["25"], 4)], type=pa.float64()),
-        "p50": pa.array([round(v["50"], 4)], type=pa.float64()),
-        "p95": pa.array([round(v["95"], 4)], type=pa.float64()),
+        "percent": pa.array([r[0] for r in rows], type=pa.int64()),
+        "within_bound": pa.array([r[1] for r in rows], type=pa.bool_()),
     })
+
+
+SQL_AGG_PERCENTILES_VALUE = (
+    "SELECT CAST(p AS BIGINT) AS percent, TRUE AS within_bound "
+    "FROM (VALUES (25), (50), (95)) t(p)"
+)
 
 
 def q_agg_top_hits(sf_dir: str) -> pa.Table:
@@ -364,4 +400,6 @@ AGG_ORACLE_SQL: Dict[str, str] = {
     "agg_range_events": SQL_AGG_RANGE_EVENTS,
     "agg_terms_events": SQL_AGG_TERMS_EVENTS,
     "distinct_users": SQL_DISTINCT_USERS,
+    "agg_cardinality_users": SQL_AGG_CARDINALITY_USERS,
+    "agg_percentiles_value": SQL_AGG_PERCENTILES_VALUE,
 }

@@ -188,16 +188,27 @@ FROM per_session GROUP BY user_id
 """
 
 
+SNIPPET_TERMS = ["table", "scan"]
+
+
 def q_snippets(sf_dir: str) -> pa.Table:
-    """Rows-only: best-fragment HTML snippets for 'table scan' matches."""
+    """Best-fragment snippets for AND('table','scan') hits, oracle-paired
+    (VERDICT round-3 item 5): (rank, doc_id) is independently recomputed
+    by the FLOAT4 BM25 SQL oracle, and two boolean gates assert snippet
+    invariants per hit — the fragment (tags stripped) is a verbatim
+    substring of the doc text, and at least one query term is inside a
+    <b> highlight (reference snippet semantics, src/snippet/mod.rs)."""
+    import html
+    import re as _re
+
     import ray.data as rd
 
     from ..search import IndexSearcher
     from ..search.snippet import SnippetGenerator
 
     s = IndexSearcher(build_docs_index(sf_dir))
-    hits = s.search(["table", "scan"], "and", 10)
-    gen = SnippetGenerator.from_terms(["table", "scan"], s, max_num_chars=80)
+    hits = s.search(SNIPPET_TERMS, "and", 10)
+    gen = SnippetGenerator.from_terms(SNIPPET_TERMS, s, max_num_chars=80)
     keys = s.resolve_doc_keys([(seg, doc) for _, seg, doc in hits])
     wanted = {int(kk): rank for rank, kk in enumerate(keys)}
 
@@ -207,13 +218,25 @@ def q_snippets(sf_dir: str) -> pa.Table:
     def make(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        rows = [(int(d), wanted[int(d)], gen.snippet(t).to_html())
-                for d, t in zip(ids, texts) if int(d) in wanted]
-        rows.sort(key=lambda r: r[1])
+        rows = []
+        for d, t in zip(ids, texts):
+            if int(d) not in wanted:
+                continue
+            snip = gen.snippet(t).to_html()
+            frag = html.unescape(_re.sub(r"</?b>", "", snip))
+            highlighted = _re.findall(r"<b>(.*?)</b>", snip)
+            rows.append((
+                wanted[int(d)], int(d),
+                frag in t,
+                any(html.unescape(h).lower() in SNIPPET_TERMS
+                    for h in highlighted),
+            ))
+        rows.sort()
         return pa.table({
-            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
-            "snippet_html": pa.array([r[2] for r in rows], type=pa.string()),
+            "rank": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "frag_in_text": pa.array([r[2] for r in rows], type=pa.bool_()),
+            "has_highlight": pa.array([r[3] for r in rows], type=pa.bool_()),
         })
 
     out = ds.map_batches(make, batch_format="pyarrow", **remote_args())
@@ -221,8 +244,22 @@ def q_snippets(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def _sql_snippets() -> str:
+    from .sql_common import _sql_topk_bm25
+
+    inner = _sql_topk_bm25([(0, SNIPPET_TERMS, "and", 10)])
+    return (f"SELECT rank, doc_id, TRUE AS frag_in_text, "
+            f"TRUE AS has_highlight FROM ({inner}) ORDER BY rank")
+
+
 def q_more_like_this(sf_dir: str) -> pa.Table:
-    """Rows-only: top-10 similar docs to doc 0's text."""
+    """Top-10 similar docs to doc 0's text, oracle-paired (VERDICT
+    round-3 item 5): the SQL oracle replays the full MLT pipeline —
+    candidate terms from doc 0's tf, df >= min_doc_frequency filter,
+    tf x FLOAT4(idf) scoring, top-12 by (score desc, term asc), Lucene
+    normalized boosts score/best, then the FLOAT4-cast BM25 sum — so
+    (rank, doc_id) is an independent recomputation, boosted-query path
+    included (reference src/query/more_like_this/more_like_this.rs:28)."""
     import pyarrow.parquet as pq
 
     from ..search import IndexSearcher
@@ -230,7 +267,8 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
 
     s = IndexSearcher(build_docs_index(sf_dir))
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "==", 0)])
     text0 = t.column("text")[0].as_py()
     mlt = MoreLikeThis(min_doc_frequency=2, max_query_terms=12)
     hits = mlt.search(text0, s, k=10)
@@ -239,6 +277,52 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
         "rank": pa.array(range(len(hits)), type=pa.int64()),
         "doc_id": pa.array([int(k) for k in keys], type=pa.int64()),
     })
+
+
+def _sql_more_like_this() -> str:
+    from .sql_common import FNTAB_SQL, TOK_CTE
+
+    return f"""
+WITH {TOK_CTE},
+{FNTAB_SQL},
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS n_tokens),
+fnorm AS (SELECT d.doc_id,
+          (SELECT max(v) FROM fntab WHERE v <= d.n) AS fn FROM doclen d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+doc0 AS (SELECT term, count(*) AS tf0 FROM tok WHERE doc_id = 0
+         GROUP BY term),
+-- MLT term selection: score = tf_in_doc0 * FLOAT4(idf); df >= 2;
+-- top max_query_terms=12 by (score desc, term asc)
+cand AS (
+  SELECT d0.term,
+         d0.tf0 * CAST(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       AS FLOAT4) AS tscore
+  FROM doc0 d0 JOIN df ON df.term = d0.term CROSS JOIN stats s
+  WHERE df.df >= 2
+  ORDER BY tscore DESC, d0.term ASC LIMIT 12),
+best AS (SELECT max(tscore) AS b FROM cand),
+-- boosted BM25 sum, FLOAT4-quantized like the engine's f32 kernel
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(
+             CAST(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  AS FLOAT4) * 2.2 * (c.tscore / best.b)
+             * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * fnorm.fn
+                        / (s.n_tokens * 1.0 / s.n_docs))) AS FLOAT4))
+           AS FLOAT4) AS score
+  FROM cand c
+  JOIN tf ON tf.term = c.term
+  JOIN df ON df.term = c.term
+  JOIN fnorm ON fnorm.doc_id = tf.doc_id
+  CROSS JOIN stats s CROSS JOIN best
+  GROUP BY tf.doc_id)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS rank,
+       doc_id
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
 
 def _ff_index(sf_dir: str) -> str:
@@ -815,5 +899,10 @@ MORE_ORACLE_SQL: Dict[str, str] = {
     "numeric_range_count": SQL_NUMERIC_RANGE_COUNT,
     "fuzzy_match_count": SQL_FUZZY_MATCH_COUNT,
     "regex_match_count": SQL_REGEX_MATCH_COUNT,
-    # snippets / more_like_this: rows-only
+    "snippets": _sql_snippets(),
+    "more_like_this": _sql_more_like_this(),
+    # rows-only by design: simhash_dups (fingerprints are engine-side
+    # SipHash — SQL cannot recompute them), stemmed_doc_freqs[_multilang]
+    # (no Snowball stemmer in this DuckDB build; golden-vector tests
+    # cover the stemmers)
 }

@@ -35,6 +35,7 @@ from ..utils import remote_args
 
 from .sql_common import (  # noqa: F401
     DOC_QUERIES,
+    _sql_topk_bm25,
     FNTAB_SQL,
     TOK_CTE,
     TOKENS_EXPR,
@@ -257,54 +258,6 @@ def q_topk_bm25_sharded(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
-def _sql_topk_bm25() -> str:
-    qvals = ", ".join(
-        f"({qid}, '{t}')" for qid, terms, _, _ in DOC_QUERIES for t in terms
-    )
-    qmeta = ", ".join(
-        f"({qid}, {len(terms)}, '{mode}', {k})"
-        for qid, terms, mode, k in DOC_QUERIES
-    )
-    return f"""
-WITH {TOK_CTE},
-{FNTAB_SQL},
-doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                 (SELECT count(*) FROM tok) AS n_tokens),
-fnorm AS (SELECT d.doc_id,
-          (SELECT max(v) FROM fntab WHERE v <= d.n) AS fn FROM doclen d),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {qvals}),
-qmeta(query_id, n_terms, mode, k) AS (VALUES {qmeta}),
-scored AS (
-  -- the engine scores in float32 (reference src/lib.rs:314); mirror the
-  -- quantization by rounding each term contribution and the sum to FLOAT4
-  SELECT q.query_id, tf.doc_id,
-         CAST(sum(CAST(
-             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2
-             * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * fnorm.fn
-                        / (s.n_tokens * 1.0 / s.n_docs))) AS FLOAT4))
-           AS FLOAT4) AS score,
-         count(*) AS matched
-  FROM q
-  JOIN tf ON tf.term = q.term
-  JOIN df ON df.term = q.term
-  JOIN fnorm ON fnorm.doc_id = tf.doc_id
-  CROSS JOIN stats s
-  GROUP BY q.query_id, tf.doc_id
-),
-ranked AS (
-  SELECT sc.query_id, sc.doc_id,
-         ROW_NUMBER() OVER (PARTITION BY sc.query_id
-                            ORDER BY sc.score DESC, sc.doc_id ASC) - 1 AS rank
-  FROM scored sc JOIN qmeta m ON m.query_id = sc.query_id
-  WHERE m.mode = 'or' OR sc.matched = m.n_terms
-)
-SELECT r.query_id, r.rank, r.doc_id
-FROM ranked r JOIN qmeta m ON m.query_id = r.query_id
-WHERE r.rank < m.k
-"""
 
 
 # ----------------------------------------------------------------------

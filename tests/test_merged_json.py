@@ -31,6 +31,48 @@ class TestMergedSearcher:
         ]:
             assert ms.search(terms, mode, k) == s.search(terms, mode, k), terms
 
+    def test_phrase_from_merged_index(self, tmp_path):
+        """Round-3 VERDICT item 4: positions survive the merge (fast
+        pass-through, salted head-term decode, AND multi-fragment stack
+        paths) and MergedSearcher serves PhraseQuery f32-identical to
+        IndexSearcher over the source segments."""
+        idx = str(tmp_path / "ixp")
+        build_index(DOCS, idx, id_col="doc_id", docs_per_segment=120,
+                    record_positions=True)
+        merged = str(tmp_path / "mergedp")
+        # tiny salt block: head terms split into salted chunks (decode
+        # path) and tail terms from 5 segments stack (multi-fragment path)
+        merge_segments(idx, merged, salt_block_docs=200, num_buckets=8)
+        ms = MergedSearcher(merged, idx)
+        s = IndexSearcher(idx)
+        checked = 0
+        for phrase, k, slop in [
+            (["of", "the"], 10, 0),
+            (["in", "the"], 15, 0),
+            (["the", "data"], 10, 1),
+            (["nosuch", "phrase"], 5, 0),
+            (["data", "the"], 10, 2),
+        ]:
+            want = s.search_phrase(phrase, k, slop=slop)
+            got = ms.search_phrase(phrase, k, slop=slop)
+            assert got == want, phrase
+            checked += len(want)
+        assert checked > 0  # at least one phrase actually matched
+
+    def test_phrase_from_merged_index_with_deletes(self, tmp_path):
+        from tantivy_ray.index.deletes import delete_by_term
+
+        idx = str(tmp_path / "ixd")
+        build_index(DOCS, idx, id_col="doc_id", docs_per_segment=120,
+                    record_positions=True)
+        delete_by_term(idx, "table")   # forces the tombstone decode path
+        merged = str(tmp_path / "mergedd")
+        merge_segments(idx, merged, salt_block_docs=200, num_buckets=8)
+        ms = MergedSearcher(merged, idx)
+        s = IndexSearcher(idx)
+        for phrase in [["of", "the"], ["in", "the"]]:
+            assert ms.search_phrase(phrase, 10) == s.search_phrase(phrase, 10)
+
 
 class TestJsonFlatten:
     def test_scalars_and_nesting(self):
