@@ -68,20 +68,37 @@ def _pairs_table(rows: List[Tuple[int, int, float]]) -> pa.Table:
     })
 
 
+DEFAULT_EXACT_MAX_ROWS = 200_000
+
+
 def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.9,
+                             method: str = None,
                              lsh_bits: int = 0,
+                             lsh_tables: int = 16,
                              seed: int = 13,
-                             target_block_rows: int = 4096) -> pa.Table:
+                             target_block_rows: int = 4096,
+                             exact_max_rows: int = DEFAULT_EXACT_MAX_ROWS
+                             ) -> pa.Table:
     """→ (id_a, id_b, cos) pairs with cosine >= threshold (id_a < id_b).
 
-    lsh_bits=0 → distributed exact block sweep; lsh_bits>0 → random-
-    hyperplane bucketing, only same-bucket pairs compared."""
+    ``method``: ``"block_exact"`` (exact all-pairs block sweep — the
+    oracle/test path), ``"lsh"`` (banded random-hyperplane LSH, linear
+    shuffle volume — the 100-TB path), or None (default) to auto-select:
+    exact up to ``exact_max_rows`` rows, LSH above (VERDICT round-3 item
+    6 — O(N²) FLOPs must not be the default at corpus scale).  Passing
+    ``lsh_bits > 0`` forces LSH with that many bits per table."""
     import ray
 
-    if lsh_bits > 0:
-        return _lsh_pairs(ds, id_col, vec_col, threshold, lsh_bits, seed)
+    if method is None:
+        method = "lsh" if (lsh_bits > 0 or
+                           ds.count() > exact_max_rows) else "block_exact"
+    if method == "lsh":
+        return _lsh_pairs(ds, id_col, vec_col, threshold, lsh_bits, seed,
+                          n_tables=lsh_tables)
+    if method != "block_exact":
+        raise ValueError(f"unknown method {method!r}")
 
     normalized = ds.map_batches(_normalize_stage(vec_col, id_col),
                                 batch_format="pyarrow",
@@ -127,13 +144,21 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
 
 
 def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
-               lsh_bits: int, seed: int) -> pa.Table:
-    """Random-hyperplane sign-bucket LSH: map_batches computes bucket
-    codes with a broadcast plane matrix; groupby(bucket) compares only
-    within buckets.  Linear shuffle volume — the web-scale path."""
+               lsh_bits: int, seed: int, n_tables: int = 16) -> pa.Table:
+    """Banded random-hyperplane LSH: ``n_tables`` independent sign-hash
+    tables of ``lsh_bits`` bits each; a pair is a candidate if it shares
+    a bucket in ANY table (recall = 1-(1-p^bits)^tables with p the
+    per-plane agreement probability 1-θ/π — at cos 0.9 and 16x8 bands
+    that is >0.99).  map_batches computes all table codes with one
+    broadcast plane matrix; groupby((table, bucket)) compares only
+    within buckets — linear shuffle volume x n_tables, the web-scale
+    path.  lsh_bits=0 auto-sizes bits to log2(rows/64) so per-bucket
+    work stays bounded as the corpus grows."""
     import pandas as pd
 
-    rs = np.random.RandomState(seed)
+    if lsh_bits <= 0:
+        n = ds.count()
+        lsh_bits = max(8, int(np.ceil(np.log2(max(2, n / 64)))))
     planes: dict = {}
 
     def stage(batch: pa.Table) -> pa.Table:
@@ -150,13 +175,22 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
         dim = m.shape[1]
         if dim not in planes:  # deterministic per-dim plane matrix
             planes[dim] = np.random.RandomState(seed).normal(
-                size=(dim, lsh_bits))
-        codes = ((mn @ planes[dim] > 0)
-                 @ (1 << np.arange(lsh_bits, dtype=np.int64)))
+                size=(dim, lsh_bits * n_tables))
+        signs = mn @ planes[dim] > 0          # (rows, bits*tables)
+        weights = 1 << np.arange(lsh_bits, dtype=np.int64)
+        # per-table code + table offset so buckets never collide across
+        # tables; fan-out: one output row per (input row, table)
+        out_bucket, out_ids, out_vecs = [], [], []
+        for t in range(n_tables):
+            codes = signs[:, t * lsh_bits:(t + 1) * lsh_bits] @ weights
+            out_bucket.append(codes + (np.int64(t) << np.int64(
+                min(62, lsh_bits))))
+            out_ids.append(ids)
+        vec_arr = pa.array(list(mn), type=pa.list_(pa.float64()))
         return pa.table({
-            "bucket": pa.array(codes, type=pa.int64()),
-            id_col: pa.array(ids, type=pa.int64()),
-            vec_col: pa.array(list(mn), type=pa.list_(pa.float64())),
+            "bucket": pa.array(np.concatenate(out_bucket), type=pa.int64()),
+            id_col: pa.array(np.concatenate(out_ids), type=pa.int64()),
+            vec_col: pa.concat_arrays([vec_arr] * n_tables),
         })
 
     bucketed = ds.map_batches(stage, batch_format="pyarrow",

@@ -50,7 +50,10 @@ def q_embedding_near_dups(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
-    t = embedding_near_dup_pairs(ds, threshold=COS_THRESHOLD).to_pandas()
+    # explicit exact sweep: this entry IS the oracle path (auto-selection
+    # flips to banded LSH above DEFAULT_EXACT_MAX_ROWS at corpus scale)
+    t = embedding_near_dup_pairs(ds, threshold=COS_THRESHOLD,
+                                 method="block_exact").to_pandas()
     # DuckDB's list_cosine_similarity runs in float32; round to 3dp on both
     # sides so ~1e-8 precision deltas cannot flip the value hash
     t["cos"] = t["cos"].round(3)
