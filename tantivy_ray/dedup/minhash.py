@@ -122,6 +122,31 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+def _shingle_hash_ranges(tokens: pa.ListArray, w: int):
+    """→ (flat shingle hashes, per-doc start, per-doc end) — the
+    vectorized arrow shingling shared with signatures_from_analyzed
+    (cross-doc shingles excluded via the per-doc range bounds)."""
+    import pyarrow.compute as pc
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = tokens.values
+    n_docs = len(offsets) - 1
+    S = len(flat)
+    if S < w:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), z, z
+    views = [flat.slice(k, S - w + 1) for k in range(w)]
+    joined = pc.binary_join_element_wise(*views, " ")
+    hashes_all = hash_strings64(joined.to_numpy(zero_copy_only=False))
+    sh_starts = np.minimum(offsets[:-1], S - w + 1)
+    sh_ends = np.maximum(offsets[1:] - (w - 1), sh_starts)
+    short = (offsets[1:] - offsets[:-1]) < w
+    sh_ends[short] = sh_starts[short]
+    return hashes_all, sh_starts, sh_ends
+
+
 def _empty_pairs() -> pa.Table:
     return pa.table({"id_a": pa.array([], type=pa.int64()),
                      "id_b": pa.array([], type=pa.int64()),
@@ -255,6 +280,123 @@ def _make_pair_jaccard_block(threshold: float):
     return block_fn
 
 
+def _fused_verify(ds, cand, text_col: str, id_col: str, threshold: float,
+                  shingle_w: int, analyzer: str) -> pa.Table:
+    """Verify candidate pairs with ONE exchange (round-3 fusion of the
+    round-2 attach + jaccard sorts): the deduped candidate-pair arrays
+    are a ``ray.put`` broadcast (ids only — bounded by candidate volume,
+    the same contract as the round-2 candidate-id broadcast), so the
+    shingle stage fans each doc's hashed shingle set DIRECTLY to its
+    (pair, side) slots; one sort(pair) then computes every pair's exact
+    jaccard fully vectorized (np.unique run-lengths over (pair, hash) —
+    no iterrows, no per-group pandas).  Jaccard over 64-bit shingle
+    hashes equals string-set jaccard up to ~1e-13 collision odds."""
+    import ray
+
+    allp = pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow"))) \
+        if cand is not None else None
+    if allp is None or allp.num_rows == 0:
+        return _empty_pairs()
+    a = allp.column("id_a").to_numpy().astype(np.int64)
+    b = allp.column("id_b").to_numpy().astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    a, b = a[keep], b[keep]
+    n_pairs = len(a)
+    # doc -> (pair, side) slots, sorted by doc id for searchsorted lookup
+    docs = np.concatenate([a, b])
+    pcode = np.tile(np.arange(n_pairs, dtype=np.int64), 2)
+    side = np.repeat(np.array([0, 1], dtype=np.int32), n_pairs)
+    o = np.argsort(docs, kind="stable")
+    lookup_ref = ray.put((docs[o], pcode[o], a, b))
+
+    out_schema = pa.schema([("pair", pa.int64()),
+                            ("hashes", pa.list_(pa.uint64()))])
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        docs_s, pcode_s, _, _ = ray.get(lookup_ref)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy()
+        lo = np.searchsorted(docs_s, ids, side="left")
+        hi = np.searchsorted(docs_s, ids, side="right")
+        sel = np.flatnonzero(hi > lo)
+        if len(sel) == 0:
+            return pa.Table.from_pydict({"pair": [], "hashes": []},
+                                        schema=out_schema)
+        sub = batch.take(pa.array(sel, type=pa.int64()))
+        out = analyze_batch(sub.column(text_col), analyzer)
+        hashes_all, sh_s, sh_e = _shingle_hash_ranges(out.tokens,
+                                                      shingle_w)
+        pair_out, hash_out = [], []
+        for row, i in enumerate(sel):
+            uniq = np.unique(hashes_all[sh_s[row]:sh_e[row]])
+            for j in range(lo[i], hi[i]):
+                pair_out.append(int(pcode_s[j]))
+                hash_out.append(uniq)
+        return pa.table({
+            "pair": pa.array(pair_out, type=pa.int64()),
+            "hashes": pa.array(hash_out, type=pa.list_(pa.uint64())),
+        })
+
+    fan = ds.map_batches(fanout, batch_format="pyarrow", **remote_args())
+
+    def jaccard_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _empty_pairs()
+        a_s, b_s = ray.get(lookup_ref)[2:]
+        pair = tbl.column("pair").to_numpy()
+        hl = tbl.column("hashes").combine_chunks()
+        offs = hl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = hl.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        pair_rep = np.repeat(pair, lens)
+        # run-lengths over sorted (pair, hash): a size-2 group is an
+        # intersection member (hashes are unique within each side)
+        order = np.lexsort((flat, pair_rep))
+        p2, h2 = pair_rep[order], flat[order]
+        new = np.empty(len(p2), dtype=bool)
+        if len(p2):
+            new[0] = True
+            new[1:] = (p2[1:] != p2[:-1]) | (h2[1:] != h2[:-1])
+        gstarts = np.flatnonzero(new)
+        gsizes = np.diff(np.append(gstarts, len(p2)))
+        gpair = p2[gstarts]
+        present = np.unique(pair)
+        union = np.zeros(len(present), dtype=np.int64)
+        inter = np.zeros(len(present), dtype=np.int64)
+        if len(gpair):
+            gidx = np.searchsorted(present, gpair)
+            np.add.at(union, gidx, 1)
+            np.add.at(inter, gidx, (gsizes == 2).astype(np.int64))
+        ok = union > 0
+        jac = np.zeros(len(present), dtype=np.float64)
+        jac[ok] = inter[ok] / union[ok]
+        hit = jac >= threshold
+        sel = present[hit]
+        return pa.table({
+            "id_a": pa.array(a_s[sel], type=pa.int64()),
+            "id_b": pa.array(b_s[sel], type=pa.int64()),
+            "jaccard": pa.array(np.round(jac[hit], 6), type=pa.float64()),
+        })
+
+    verified = fan.sort("pair").map_batches(
+        jaccard_block, batch_size=None, batch_format="pyarrow",
+        **remote_args(),
+    )
+    pdf = verified.to_pandas()
+    if len(pdf) == 0:
+        return _empty_pairs()
+    pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({
+        "id_a": pa.array(pdf["id_a"].astype(np.int64)),
+        "id_b": pa.array(pdf["id_b"].astype(np.int64)),
+        "jaccard": pa.array(pdf["jaccard"].astype(np.float64)),
+    })
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -299,6 +441,13 @@ def minhash_lsh_pairs(
         batch_size=None, batch_format="pyarrow", **remote_args(),
     )
 
+    if prune_candidates:
+        # fused verify: ONE exchange, vectorized jaccard (round-3).
+        # prune_candidates=False keeps the reduce-side join below for
+        # candidate volumes too large to broadcast as id arrays.
+        return _fused_verify(ds, cand, text_col, id_col, threshold,
+                             shingle_w, analyzer)
+
     # pair-endpoint rows for the reduce-side join (duplicate pairs from
     # multiple bands collapse inside the join stage)
     def endpoints(t: pa.Table) -> pa.Table:
@@ -320,17 +469,9 @@ def minhash_lsh_pairs(
     # the banding/sort/bucket chain does not re-execute
     ends_ds = ends_ds.materialize()
 
-    # candidate doc ids (small scalar side) → broadcast to prune the
-    # shingle re-read; at extreme candidate volume shingle all docs
+    # this branch (prune_candidates=False) shingles ALL docs — no
+    # candidate broadcast, for when even the id arrays would not fit
     needed_ref = None
-    if prune_candidates:
-        uniq: set = set()
-        for b in ends_ds.select_columns(["jkey"]).iter_batches(
-                batch_format="pyarrow"):
-            uniq.update(b.column("jkey").to_pylist())
-        if not uniq:
-            return _empty_pairs()
-        needed_ref = ray.put(np.array(sorted(uniq), dtype=np.int64))
 
     shingle_ds = ds.map_batches(
         _make_shingle_stage(needed_ref, text_col, id_col, shingle_w,

@@ -29,8 +29,12 @@ COS_THRESHOLD = 0.45
 def _docs(sf_dir: str):
     import ray.data as rd
 
+    # small doc tables split into few blocks by default; the signature
+    # stage is compute-heavy (per-shingle 64-bit mulmod x num_perm), so
+    # force enough blocks to use the whole CPU allotment
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"],
+                           override_num_blocks=32)
 
 
 def q_minhash_lsh_dups(sf_dir: str) -> pa.Table:
