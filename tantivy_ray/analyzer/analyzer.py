@@ -101,7 +101,10 @@ def _default_registry() -> Dict[str, TextAnalyzer]:
                                ("sv", "swedish"), ("no", "norwegian"),
                                ("da", "danish"), ("it", "italian"),
                                ("pt", "portuguese"), ("nl", "dutch"),
-                               ("ro", "romanian"))
+                               ("ro", "romanian"), ("fi", "finnish"),
+                               ("hu", "hungarian"), ("tr", "turkish"),
+                               ("el", "greek"), ("ar", "arabic"),
+                               ("ta", "tamil"))
         },
         "whitespace": TextAnalyzer(WhitespaceTokenizer(), [], "whitespace"),
     }
@@ -132,7 +135,9 @@ _MANAGER = TokenizerManager()
 _LANG_ANALYZER = {"en": "en_stem", "de": "de_stem", "fr": "fr_stem",
                   "es": "es_stem", "ru": "ru_stem", "sv": "sv_stem",
                   "no": "no_stem", "da": "da_stem", "it": "it_stem",
-                  "pt": "pt_stem", "nl": "nl_stem", "ro": "ro_stem"}
+                  "pt": "pt_stem", "nl": "nl_stem", "ro": "ro_stem",
+                  "fi": "fi_stem", "hu": "hu_stem", "tr": "tr_stem",
+                  "el": "el_stem", "ar": "ar_stem", "ta": "ta_stem"}
 
 
 def analyzer_for_lang(lang: str) -> str:

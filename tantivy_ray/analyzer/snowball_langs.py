@@ -1,12 +1,16 @@
-"""Snowball stemmers — pure Python: German, French, Spanish, Russian,
-Swedish, Norwegian, Danish, Italian, Portuguese, Dutch, Romanian.
+"""Language stemmers — pure Python, one per reference-supported language.
 
-Implemented from the published Snowball algorithm descriptions
+German, French, Spanish, Russian, Swedish, Norwegian, Danish, Italian,
+Portuguese, Dutch, Romanian, Finnish, Hungarian and Turkish are
+implemented from the published Snowball algorithm descriptions
 (snowballstem.org/algorithms/<language>/stemmer.html) — the same
 algorithms the reference uses through rust-stemmers
-(/root/reference/src/tokenizer/stemmer.rs:63-120).  With English
-(Porter2, stemmer.py) that is 12 of the reference's 18 languages;
-Finnish, Hungarian, Greek, Turkish, Arabic and Tamil remain.
+(/root/reference/src/tokenizer/stemmer.rs:63-120).  Greek follows the
+published Ntais algorithm (the basis of Snowball Greek) with its long
+per-rule exception word lists reduced to the structural rules; Arabic
+is the published Light10 stemmer (Larkey, Ballesteros & Connell 2002);
+Tamil is a published-rules light suffix stripper.  With English
+(Porter2, stemmer.py) all 18 of the reference's languages are routed.
 
 All stemmers expect lowercased input (the chain puts LowerCaser first)
 and are memoized — web text repeats terms heavily.
@@ -1437,6 +1441,484 @@ def danish_stem(word: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# Finnish
+# ---------------------------------------------------------------------------
+
+_FI_VOWELS = frozenset("aeiouyäö")
+_FI_RESTRICTED = frozenset("aeiouäö")  # V: vowels minus y
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_PARTICLE_PRE = frozenset("ntaeiouyäö")
+
+_FI_STEP1 = ("kään", "kaan", "sti", "kin", "han", "hän", "ko", "kö",
+             "pa", "pä")
+_FI_STEP2 = ("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en")
+_FI_STEP3 = ("seen", "siin", "tten", "han", "hen", "hin", "hon", "hun",
+             "hän", "hön", "den", "tta", "ttä", "ssa", "ssä", "sta",
+             "stä", "lla", "llä", "lta", "ltä", "lle", "ksi", "ine",
+             "ta", "tä", "na", "nä", "a", "ä", "n")
+_FI_STEP4 = ("impi", "impa", "impä", "immi", "imma", "immä",
+             "eja", "ejä", "mpi", "mpa", "mpä", "mmi", "mma", "mmä")
+
+
+@lru_cache(maxsize=65536)
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish (snowballstem.org/algorithms/finnish/stemmer.html):
+    particle → possessive → case → comparative → plural → tidy, with R1/R2
+    fixed from the original word (reference rust-stemmers Finnish,
+    /root/reference/src/tokenizer/stemmer.rs:63-120)."""
+    w = word
+    r1, r2 = _standard_r1_r2(w, _FI_VOWELS)
+
+    # step 1: particles (kin/kaan/... if preceded by n, t or vowel) + sti
+    s = _longest_suffix_in_r1(w, _FI_STEP1, r1)
+    if s == "sti":
+        if len(w) - 3 >= r2:
+            w = w[:-3]
+    elif s is not None:
+        if len(w) > len(s) and w[-len(s) - 1] in _FI_PARTICLE_PRE:
+            w = w[:-len(s)]
+
+    # step 2: possessives
+    s = _longest_suffix_in_r1(w, _FI_STEP2, r1)
+    if s in ("nsa", "nsä", "mme", "nne"):
+        w = w[:-3]
+    elif s == "si":
+        if not (len(w) > 2 and w[-3] == "k"):
+            w = w[:-2]
+    elif s == "ni":
+        w = w[:-2]
+        if w.endswith("kse"):
+            w = w[:-1] + "i"
+    elif s == "an":
+        if any(w[:-2].endswith(p) for p in
+               ("ta", "ssa", "sta", "lla", "lta", "na")):
+            w = w[:-2]
+    elif s == "än":
+        if any(w[:-2].endswith(p) for p in
+               ("tä", "ssä", "stä", "llä", "ltä", "nä")):
+            w = w[:-2]
+    elif s == "en":
+        if any(w[:-2].endswith(p) for p in ("lle", "ine")):
+            w = w[:-2]
+
+    # step 3: cases (longest match commits; failed condition = no-op)
+    ending_removed = False
+    s = _longest_suffix_in_r1(w, _FI_STEP3, r1)
+    if s in ("han", "hen", "hin", "hon", "hun", "hän", "hön"):
+        if len(w) > 3 and w[-4] == s[1]:  # hXn preceded by X
+            w = w[:-3]
+            ending_removed = True
+    elif s in ("siin", "den", "tten"):
+        k = len(s)
+        if (len(w) > k + 1 and w[-k - 1] == "i"
+                and w[-k - 2] in _FI_RESTRICTED):
+            w = w[:-k]
+            ending_removed = True
+    elif s == "seen":
+        if w[:-4][-2:] in _FI_LONG:
+            w = w[:-4]
+            ending_removed = True
+    elif s in ("a", "ä"):
+        if (len(w) > 2 and w[-2] in _FI_VOWELS
+                and w[-3] not in _FI_VOWELS):
+            w = w[:-1]
+            ending_removed = True
+    elif s in ("tta", "ttä"):
+        if len(w) > 3 and w[-4] == "e":
+            w = w[:-3]
+            ending_removed = True
+    elif s in ("ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+               "lta", "ltä", "lle", "na", "nä", "ksi", "ine"):
+        w = w[:-len(s)]
+        ending_removed = True
+    elif s == "n":
+        w = w[:-1]
+        ending_removed = True
+        if w[-2:] in _FI_LONG or w.endswith("ie"):
+            w = w[:-1]
+
+    # step 4: comparatives (R2)
+    s = _longest_suffix_in_r1(w, _FI_STEP4, r2)
+    if s in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+        if not w[:-3].endswith("po"):
+            w = w[:-3]
+    elif s is not None:
+        w = w[:-len(s)]
+
+    # step 5: plurals
+    if ending_removed:
+        if w and w[-1] in "ij" and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        if (w.endswith("t") and len(w) - 1 >= r1 and len(w) > 1
+                and w[-2] in _FI_VOWELS):
+            w = w[:-1]
+            s = _longest_suffix_in_r1(w, ("imma", "mma"), r2)
+            if s == "imma":
+                w = w[:-4]
+            elif s == "mma" and not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # step 6: tidying
+    # a) R1 ends a long vowel (or ie) → drop the last letter
+    if (w[-2:] in _FI_LONG or w.endswith("ie")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    # b) R1 ends consonant + {a ä e i} → drop the last letter
+    if (len(w) >= 2 and len(w) - 2 >= r1 and w[-1] in "aäei"
+            and w[-2] not in _FI_VOWELS):
+        w = w[:-1]
+    # c) R1 ends oj / uj → drop the j
+    if w[-2:] in ("oj", "uj") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # d) R1 ends jo → drop the o
+    if w.endswith("jo") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # e) a double consonant followed only by vowels loses its second half
+    i = len(w)
+    while i > 0 and w[i - 1] in _FI_VOWELS:
+        i -= 1
+    if i >= 2 and w[i - 1] == w[i - 2] and w[i - 1] not in _FI_VOWELS:
+        w = w[:i - 1] + w[i:]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hungarian
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = frozenset("aáeéiíoóöőuúüű")
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLED = ("ccs", "ddz", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+               "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm",
+               "nn", "pp", "rr", "ss", "tt", "vv", "zz")
+
+
+def _hu_r1(word: str) -> int:
+    """Hungarian R1: after the first consonant/digraph if the word starts
+    with a vowel, else after the first vowel."""
+    n = len(word)
+    if n == 0:
+        return 0
+    if word[0] in _HU_VOWELS:
+        i = 0
+        while i < n and word[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_DIGRAPHS:
+            if word.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    for i in range(n):
+        if word[i] in _HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_undouble(w: str) -> str:
+    """kk→k, ssz→sz, ccs→cs ... (remove the first letter of the pair)."""
+    for d in ("ccs", "ddz", "ggy", "lly", "nny", "ssz", "tty", "zzs"):
+        if w.endswith(d):
+            return w[:-3] + d[1:]
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _HU_VOWELS:
+        return w[:-1]
+    return w
+
+
+def _hu_unaccent_last(w: str) -> str:
+    if w.endswith("á"):
+        return w[:-1] + "a"
+    if w.endswith("é"):
+        return w[:-1] + "e"
+    return w
+
+
+_HU_CASE = ("onként", "enként", "anként", "képpen", "ként", "képp",
+            "ban", "ben", "tól", "től", "ról", "ről", "ból", "ből",
+            "hoz", "hez", "höz", "nál", "nél", "kor", "ba", "be",
+            "ra", "re", "rá", "ré", "ig", "at", "et", "ot", "öt",
+            "ért", "ul", "ül", "vá", "vé", "en", "on", "an", "ön",
+            "n", "t")
+_HU_OWNED = ("áéi", "ééi", "áké", "éké", "oké", "öké", "aké", "eké",
+             "éi", "ké", "é")
+_HU_SING_OWNER = ("ünk", "unk", "ánk", "énk", "juk", "jük", "nk",
+                  "uk", "ük", "ám", "ém", "em", "om", "am", "ád",
+                  "éd", "ed", "od", "ad", "öd", "ája", "éje", "ja",
+                  "je", "m", "d", "a", "e", "o", "á", "é")
+_HU_PLUR_OWNER = ("jaink", "jeink", "aink", "eink", "áink", "éink",
+                  "ink", "jaitok", "jeitek", "aitok", "eitek",
+                  "áitok", "éitek", "itek", "jeik", "jaik", "aik",
+                  "eik", "áik", "éik", "ik", "jaim", "jeim", "aim",
+                  "eim", "áim", "éim", "im", "jaid", "jeid", "aid",
+                  "eid", "áid", "éid", "id", "jai", "jei", "ai", "ei",
+                  "ái", "éi", "i")
+
+
+@lru_cache(maxsize=65536)
+def hungarian_stem(word: str) -> str:
+    """Snowball Hungarian (snowballstem.org/algorithms/hungarian/
+    stemmer.html): instrumental undoubling, case endings with final
+    á/é de-accenting, owned/owner suffix layers, plural — all within
+    the Hungarian R1 (after the first consonant or digraph for
+    vowel-initial words)."""
+    w = word
+    r1 = _hu_r1(w)
+
+    def in_r1(k: int) -> bool:
+        return len(w) - k >= r1
+
+    # step 1: instrumental -val/-vel assimilated onto a double consonant
+    if (w.endswith("al") or w.endswith("el")) and in_r1(2):
+        rest = w[:-2]
+        if any(rest.endswith(d) for d in _HU_DOUBLED):
+            w = _hu_undouble(rest)
+            return w if len(w) > 1 else word
+    # step 2: case endings; de-accent a resulting final á/é
+    s = _longest_suffix_in_r1(w, _HU_CASE, r1)
+    if s:
+        w = _hu_unaccent_last(w[:-len(s)])
+    # step 3: special á/é cases
+    if w.endswith("ánként") and len(w) - 6 >= r1:
+        w = w[:-6] + "a"
+    elif w.endswith("án") and len(w) - 2 >= r1:
+        w = w[:-2] + "a"
+    elif w.endswith("én") and len(w) - 2 >= r1:
+        w = w[:-2] + "e"
+    # step 4: -stul/-stül family
+    for s, rep in (("ástul", "a"), ("éstül", "e"), ("astul", ""),
+                   ("estül", ""), ("stul", ""), ("stül", "")):
+        if w.endswith(s) and len(w) - len(s) >= r1:
+            w = w[:-len(s)] + rep
+            break
+    # step 5: factive á/é on a doubled consonant
+    if w[-1:] in ("á", "é") and len(w) - 1 >= r1:
+        rest = w[:-1]
+        if any(rest.endswith(d) for d in _HU_DOUBLED):
+            w = _hu_undouble(rest)
+    # step 6: owned (-é, -éi, -ké ...)
+    s = _longest_suffix_in_r1(w, _HU_OWNED, r1)
+    if s:
+        rep = "a" if s.startswith("á") else ("e" if s.startswith("é")
+                                             and s != "é" and s != "éi"
+                                             else "")
+        w = w[:-len(s)] + rep
+    # step 7: singular owner suffixes
+    s = _longest_suffix_in_r1(w, _HU_SING_OWNER, r1)
+    if s:
+        rep = ("a" if s[0] == "á" else
+               "e" if s[0] == "é" else "")
+        w = w[:-len(s)] + rep
+    # step 8: plural owner suffixes
+    s = _longest_suffix_in_r1(w, _HU_PLUR_OWNER, r1)
+    if s:
+        rep = ("a" if s[0] == "á" else
+               "e" if s[0] == "é" else "")
+        w = w[:-len(s)] + rep
+    # step 9: plural -k with á/é de-accenting
+    for s, rep in (("ák", "a"), ("ék", "e"), ("ök", ""), ("ok", ""),
+                   ("ek", ""), ("ak", ""), ("k", "")):
+        if w.endswith(s) and len(w) - len(s) >= r1:
+            w = w[:-len(s)] + rep
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Turkish
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = frozenset("aeıioöuü")
+_TR_BACK = frozenset("aıou")     # back vowels take a / ı / u
+_TR_FRONT = frozenset("eiöü")
+
+# inflectional suffix groups of the published Snowball Turkish stemmer
+# (Çilden): plural, possessive, case, copula/tense — enumerated as
+# literal harmony variants, longest first; stripped iteratively
+_TR_SUFFIXES = (
+    "larınız", "leriniz", "larımız", "lerimiz",
+    "ımız", "imiz", "umuz", "ümüz", "ınız", "iniz", "unuz", "ünüz",
+    "ları", "leri", "ların", "lerin", "lara", "lere", "larda", "lerde",
+    "lardan", "lerden",
+    "mış", "miş", "muş", "müş", "dır", "dir", "dur", "dür",
+    "tır", "tir", "tur", "tür", "yla", "yle", "nın", "nin", "nun",
+    "nün", "dan", "den", "tan", "ten", "mız", "miz", "muz", "müz",
+    "nız", "niz", "nuz", "nüz", "lar", "ler", "ken",
+    "da", "de", "ta", "te", "ya", "ye", "yı", "yi", "yu", "yü",
+    "ın", "in", "un", "ün", "ım", "im", "um", "üm", "sı", "si",
+    "su", "sü", "dı", "di", "du", "dü", "tı", "ti", "tu", "tü",
+    "sa", "se", "ca", "ce", "ça", "çe", "ki",
+    "ı", "i", "u", "ü", "a", "e",
+)
+
+
+def _tr_harmonic(stem: str, suffix: str) -> bool:
+    """Vowel harmony: the suffix's first vowel must agree with the last
+    stem vowel (2-way a/e, 4-way ı/i/u/ü)."""
+    sv = next((c for c in suffix if c in _TR_VOWELS), None)
+    if sv is None:
+        return True
+    last = next((c for c in reversed(stem) if c in _TR_VOWELS), None)
+    if last is None:
+        return False
+    if sv in "ae":
+        return (sv == "a") == (last in _TR_BACK)
+    four = {"a": "ı", "ı": "ı", "o": "u", "u": "u",
+            "e": "i", "i": "i", "ö": "ü", "ü": "ü"}
+    return four.get(last) == sv
+
+
+@lru_cache(maxsize=65536)
+def turkish_stem(word: str) -> str:
+    """Turkish stemmer following the published Snowball Turkish
+    description (Çilden — harmony-checked iterative stripping of the
+    inflectional suffix chain, then final-consonant restoration
+    b→p c→ç d→t ğ→k).  Reference ships the same algorithm through
+    rust-stemmers (src/tokenizer/stemmer.rs:63-120)."""
+    w = word
+    for _ in range(4):  # suffixes stack; strip one layer per pass
+        for s in _TR_SUFFIXES:
+            if not w.endswith(s):
+                continue
+            rest = w[:-len(s)]
+            if len(rest) < 2:
+                continue
+            if not any(c in _TR_VOWELS for c in rest):
+                continue
+            if not _tr_harmonic(rest, s):
+                continue
+            # a bare-vowel suffix only follows a consonant (after vowels
+            # Turkish inserts the buffer y/s/n, matched by the longer
+            # variants above)
+            if s[0] in _TR_VOWELS and rest[-1] in _TR_VOWELS:
+                continue
+            w = rest
+            break
+        else:
+            break
+    # final devoiced-consonant restoration (kitabı → kitab → kitap)
+    if w != word:
+        w = {"b": w[:-1] + "p", "c": w[:-1] + "ç",
+             "d": w[:-1] + "t", "ğ": w[:-1] + "k"}.get(w[-1], w)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Greek (core rules of the published Ntais algorithm, the basis of
+# Snowball Greek; the long per-rule exception word lists are reduced to
+# the structural suffix rules)
+# ---------------------------------------------------------------------------
+
+_EL_VOWELS = frozenset("αεηιουω")
+
+# inflectional endings, longest first (σ-normalized: the analyzer's
+# LowerCaser never emits final sigma)
+_EL_SUFFIXES = (
+    "ιουσ", "ιων", "ουσα", "ουσε", "ουμε", "ειτε", "ονται", "ομαι",
+    "εσαι", "εται", "ηκαν", "ουσαν", "οταν",
+    "ματα", "ματων", "ματοσ",
+    "ουν", "ουσ", "εισ", "ειτ", "ηκα", "ηκε", "ησα", "ησε", "ησαν",
+    "ετε", "ομε", "αμε", "ατε", "εων",
+    "ων", "ου", "εσ", "ασ", "ησ", "οσ", "οι", "αι", "ια", "ιο",
+    "α", "η", "ο", "ι", "ε",
+)
+
+
+@lru_cache(maxsize=65536)
+def greek_stem(word: str) -> str:
+    """Greek stemmer after the published Ntais algorithm (the basis of
+    Snowball Greek / reference rust-stemmers): ordered longest-first
+    removal of inflectional endings with a minimum-stem guard.  The
+    published per-rule exception word lists are intentionally reduced
+    to the structural rules — conflation stays deterministic."""
+    w = word.replace("\u03c2", "\u03c3")  # robust to raw final-sigma input
+    for s in _EL_SUFFIXES:
+        if w.endswith(s) and len(w) - len(s) >= 3:
+            w = w[:-len(s)]
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Arabic (Light10 — Larkey, Ballesteros & Connell 2002, the standard
+# published light stemmer; the reference offers Snowball Arabic through
+# rust-stemmers, same normalization + affix-stripping shape)
+# ---------------------------------------------------------------------------
+
+_AR_DIACRITICS = dict.fromkeys(map(ord, "ًٌٍَ"
+                                        "ُِّْ"
+                                        "ـ"))
+_AR_PREFIXES = ("ال",            # ال
+                "وال",      # وال
+                "بال",      # بال
+                "كال",      # كال
+                "فال",      # فال
+                "لل")            # لل
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+@lru_cache(maxsize=65536)
+def arabic_stem(word: str) -> str:
+    w = word.translate(_AR_DIACRITICS)
+    # hamza/alef and taa-marbuta normalization
+    for src in ("آ", "أ", "إ"):
+        w = w.replace(src, "ا")
+    if w.endswith("ى"):
+        w = w[:-1] + "ي"
+    # waw conjunction: strip a leading و if >=3 chars remain
+    if w.startswith("و") and len(w) >= 4:
+        w = w[1:]
+    for p in sorted(_AR_PREFIXES, key=len, reverse=True):
+        if w.startswith(p) and len(w) - len(p) >= 2:
+            w = w[len(p):]
+            break
+    for s in _AR_SUFFIXES:  # Light10: each checked in order
+        if w.endswith(s) and len(w) - len(s) >= 2:
+            w = w[:-len(s)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Tamil (light suffix stripper after the published Tamil stemming rules
+# — case/plural/clitic endings, longest first, minimum-stem guard)
+# ---------------------------------------------------------------------------
+
+_TA_SUFFIXES = (
+    "ிலிருந்து",  # -இலிருந்து
+    "களுக்கு",              # -களுக்கு
+    "களில்",                          # -களில்
+    "களின்",                          # -களின்
+    "களால்",                          # -களால்
+    "களை",                                      # -களை
+    "ுடன்",                                # -உடன்
+    "கள்",                                      # -கள்
+    "ுக்கு",                          # -உக்கு
+    "ின்",                                      # -இன்
+    "ில்",                                      # -இல்
+    "ால்",                                      # -ஆல்
+    "ோடு",                                      # -ஓடு
+    "ை",                                                  # -ஐ
+)
+
+
+@lru_cache(maxsize=65536)
+def tamil_stem(word: str) -> str:
+    w = word
+    for _ in range(2):  # plural + case can stack (-களுக்கு etc.)
+        for s in _TA_SUFFIXES:
+            if w.endswith(s) and len(w) - len(s) >= 2:
+                w = w[:-len(s)]
+                break
+        else:
+            break
+    if w != word and w.endswith("ங்"):
+        # undo the ம்→ங் nasal assimilation before -கள் (மரங்கள் → மரம்)
+        w = w[:-len("ங்")] + "ம்"
+    return w
+
+
 LANGUAGE_STEMMERS = {
     "german": german_stem,
     "de": german_stem,
@@ -1460,4 +1942,16 @@ LANGUAGE_STEMMERS = {
     "nl": dutch_stem,
     "romanian": romanian_stem,
     "ro": romanian_stem,
+    "finnish": finnish_stem,
+    "fi": finnish_stem,
+    "hungarian": hungarian_stem,
+    "hu": hungarian_stem,
+    "turkish": turkish_stem,
+    "tr": turkish_stem,
+    "greek": greek_stem,
+    "el": greek_stem,
+    "arabic": arabic_stem,
+    "ar": arabic_stem,
+    "tamil": tamil_stem,
+    "ta": tamil_stem,
 }

@@ -674,11 +674,13 @@ def q_stemmed_doc_freqs(sf_dir: str) -> pa.Table:
 
 def q_stemmed_doc_freqs_multilang(sf_dir: str) -> pa.Table:
     """Rows-only: per (lang, term) doc_freq with LANG-ROUTED analyzers —
-    each document is stemmed by its own language's Snowball chain
-    (de/fr/es via snowball_langs.py, en via Porter2, other langs fall
-    back to `default`), mirroring the reference's per-language Stemmer
-    registration (src/tokenizer/stemmer.rs:63-120).  Deterministic, not
-    SQL-expressible."""
+    each document is stemmed by its own language's chain (18 language
+    routes registered: en Porter2 + 17 in snowball_langs.py, matching
+    the reference's full Stemmer roster, src/tokenizer/stemmer.rs:63-120;
+    languages outside the roster fall back to `default`).  The synthetic
+    corpus carries en/de/es/fr/zh — golden vectors in
+    tests/test_snowball_langs.py exercise every registered language.
+    Deterministic, not SQL-expressible (no stemmer in this DuckDB)."""
     import ray.data as rd
 
     from ..analyzer import analyze_batch, analyzer_for_lang

@@ -209,3 +209,136 @@ class TestRomanian:
     def test_registered(self):
         assert analyzer_for_lang("ro") == "ro_stem"
         get_analyzer("ro_stem")
+
+
+class TestFinnish:
+    @pytest.mark.parametrize("word,stem", [
+        ("talossa", "talo"), ("taloissa", "talo"), ("talossaan", "talo"),
+        ("taloon", "talo"), ("talojen", "talo"),
+        ("kirjat", "kirj"), ("kirja", "kirj"), ("kirjakin", "kirj"),
+        ("edeltäjiensä", "edeltäj"), ("edeltäjistään", "edeltäj"),
+        ("koirien", "koir"), ("onko", "on"), ("kala", "kala"),
+        ("nopeammin", "nopeam"), ("aatonaatto", "aatonaato"),
+    ])
+    def test_vectors(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import finnish_stem
+
+        assert finnish_stem(word) == stem
+
+
+class TestHungarian:
+    @pytest.mark.parametrize("word,stem", [
+        ("házak", "ház"), ("házban", "ház"), ("házakban", "ház"),
+        ("könyvvel", "könyv"), ("emberek", "ember"),
+        ("asztalon", "asztal"), ("almák", "alma"), ("almái", "alma"),
+        ("kertünk", "kert"), ("kertjeink", "kert"),
+        ("budapesten", "budapest"),
+    ])
+    def test_vectors(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import hungarian_stem
+
+        assert hungarian_stem(word) == stem
+
+    def test_instrumental_undouble_digraph(self):
+        from tantivy_ray.analyzer.snowball_langs import hungarian_stem
+
+        # busszal = busz + val (ssz = doubled sz): strip + undouble
+        assert hungarian_stem("busszal") == "busz"
+
+
+class TestTurkish:
+    @pytest.mark.parametrize("word,stem", [
+        ("evler", "ev"), ("evlerimiz", "ev"), ("evlerde", "ev"),
+        ("evdeki", "ev"), ("evim", "ev"), ("ev", "ev"),
+        ("kitaplar", "kitap"), ("kitapları", "kitap"),
+        ("kitabı", "kitap"),      # final-consonant restoration b→p
+        ("okulda", "okul"), ("okuldan", "okul"),
+        ("çocukların", "çocuk"), ("güzeldir", "güzel"),
+        ("istanbulda", "istanbul"),
+    ])
+    def test_vectors(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import turkish_stem
+
+        assert turkish_stem(word) == stem
+
+    def test_vowel_harmony_blocks_mismatched_suffix(self):
+        from tantivy_ray.analyzer.snowball_langs import turkish_stem
+
+        # 'ler' (front) after a back-vowel stem must NOT strip
+        assert turkish_stem("kalemler") == "kalem"   # front+front ok
+        assert turkish_stem("okuler") == "okuler"    # back stem + ler: no
+
+
+class TestGreek:
+    @pytest.mark.parametrize("word,stem", [
+        ("βιβλια", "βιβλ"), ("βιβλιο", "βιβλ"),
+        ("ανθρωπων", "ανθρωπ"), ("ανθρωποσ", "ανθρωπ"),
+        ("θαλασσα", "θαλασσ"), ("παιδια", "παιδ"),
+    ])
+    def test_vectors(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import greek_stem
+
+        assert greek_stem(word) == stem
+
+    def test_final_sigma_normalized(self):
+        from tantivy_ray.analyzer.snowball_langs import greek_stem
+
+        assert greek_stem("υπολογιστης") == greek_stem("υπολογιστησ")
+
+
+class TestArabic:
+    @pytest.mark.parametrize("word,stem", [
+        ("الكتاب", "كتاب"), ("والكتاب", "كتاب"), ("كتابها", "كتاب"),
+        ("المدرسة", "مدرس"), ("مدرسة", "مدرس"),
+        ("معلمون", "معلم"), ("معلمين", "معلم"), ("وقال", "قال"),
+    ])
+    def test_vectors(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import arabic_stem
+
+        assert arabic_stem(word) == stem
+
+    def test_normalization(self):
+        from tantivy_ray.analyzer.snowball_langs import arabic_stem
+
+        # hamza-alef forms conflate; diacritics removed
+        assert arabic_stem("أحمد") == arabic_stem("احمد")
+        assert arabic_stem("كَتَبَ") == arabic_stem("كتب")
+
+
+class TestTamil:
+    @pytest.mark.parametrize("word,stem", [
+        ("புத்தகங்கள்", "புத்தகம்"),
+        ("வீடுகளில்", "வீடு"),
+        ("மரங்களை", "மரம்"),
+        ("மரம்", "மரம்"),
+    ])
+    def test_vectors(self, word, stem):
+        from tantivy_ray.analyzer.snowball_langs import tamil_stem
+
+        assert tamil_stem(word) == stem
+
+
+class TestNewRouting:
+    def test_all_18_languages_registered(self):
+        # the reference ships 18 Snowball languages
+        # (src/tokenizer/stemmer.rs:63-120); all are now routed
+        for code in ("en", "de", "fr", "es", "ru", "sv", "no", "da",
+                     "it", "pt", "nl", "ro", "fi", "hu", "tr", "el",
+                     "ar", "ta"):
+            name = analyzer_for_lang(code)
+            assert name == f"{code}_stem" if code != "en" else "en_stem"
+            get_analyzer(name)
+
+    def test_vectorized_batch_path_matches_exact(self):
+        import pyarrow as pa
+
+        from tantivy_ray.analyzer import analyze_batch
+
+        texts = pa.array(["Evler kitapları", "házakban könyvvel",
+                          "taloissa kirjat"])
+        for name, langtexts in (("tr_stem", ["evler kitapları"]),
+                                ("hu_stem", ["házakban könyvvel"]),
+                                ("fi_stem", ["taloissa kirjat"])):
+            out = analyze_batch(pa.array(langtexts), name)
+            exact = [t.text for t in get_analyzer(name).analyze(langtexts[0])]
+            assert out.tokens.to_pylist()[0] == exact
