@@ -755,6 +755,17 @@ def run_aggregations(ds, aggs: Dict[str, Dict],
     AggregationLimitsGuard budget (src/aggregation/agg_limits.rs):
     every per-batch partial and the running merge are checked, so a
     runaway high-cardinality terms agg aborts instead of OOMing."""
+    return finalize(aggs, aggregate_partials(ds, aggs, batch_size,
+                                             max_buckets))
+
+
+def aggregate_partials(ds, aggs: Dict[str, Dict],
+                       batch_size: int = 65536,
+                       max_buckets: int = DEFAULT_MAX_BUCKETS) -> Dict:
+    """Run the distributed partial+merge phases ONCE and return the
+    merged intermediate (finalize separately — e.g. composite after-key
+    pagination re-finalizes many pages from one cached partial instead
+    of re-running the whole aggregation per page)."""
     from .utils import remote_args
 
     def partial_fn(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
@@ -775,6 +786,4 @@ def run_aggregations(ds, aggs: Dict[str, Dict],
         p = pickle.loads(row["partial"])
         merged = p if merged is None else merge_partials(aggs, merged, p)
         check_limits(merged, max_buckets)
-    if merged is None:
-        merged = {}
-    return finalize(aggs, merged)
+    return merged if merged is not None else {}

@@ -14,4 +14,5 @@ from .manifest import (  # noqa: F401
     load_manifest,
     write_manifest,
 )
+from .ram import RamDirectory  # noqa: F401
 from .segment import SegmentReader, build_segment_from_table, segment_dir_name  # noqa: F401

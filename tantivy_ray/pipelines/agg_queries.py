@@ -326,25 +326,30 @@ COMPOSITE_PAGE = 16
 def q_agg_composite_events(sf_dir: str) -> pa.Table:
     """Composite agg over (event_type, value-histogram) with after-key
     pagination: walk ALL pages (page size 4) and emit every bucket with
-    its page number — exercising the after-key resume path end to end."""
+    its page number — exercising the after-key resume path end to end.
+
+    The distributed partial+merge phase runs ONCE; every page is
+    finalized from the cached merged partial (ES-faithfully each page is
+    a fresh finalize with its after key, but re-running the whole
+    aggregation per page — the round-2 shape — paid a full scan per
+    page)."""
+    from ..aggregations import aggregate_partials, finalize
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    body = {
+        "size": COMPOSITE_PAGE,
+        "sources": [
+            {"etype": {"terms": {"field": "event_type"}}},
+            {"vb": {"histogram": {"field": "value", "interval": 20}}},
+        ],
+    }
+    aggs = {"c": {"composite": body,
+                  "aggs": {"s": {"sum": {"field": "value"}}}}}
+    merged = aggregate_partials(ds, aggs)
     rows = []
-    after = None
     page = 0
     while True:
-        ds = _read(sf_dir, "events", ["event_type", "value"])
-        body = {
-            "size": COMPOSITE_PAGE,
-            "sources": [
-                {"etype": {"terms": {"field": "event_type"}}},
-                {"vb": {"histogram": {"field": "value", "interval": 20}}},
-            ],
-        }
-        if after is not None:
-            body["after"] = after
-        res = run_aggregations(ds, {
-            "c": {"composite": body,
-                  "aggs": {"s": {"sum": {"field": "value"}}}}
-        })["c"]
+        res = finalize(aggs, merged)["c"]
         for b in res["buckets"]:
             rows.append({
                 "page": page,
@@ -355,8 +360,9 @@ def q_agg_composite_events(sf_dir: str) -> pa.Table:
             })
         if len(res["buckets"]) < COMPOSITE_PAGE:
             break
-        after = res["after_key"]
+        body["after"] = res["after_key"]
         page += 1
+    body.pop("after", None)
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 

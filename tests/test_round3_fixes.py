@@ -175,6 +175,30 @@ def test_searcher_pool_parity(tmp_path, ray_session):
     assert again.to_pydict() == want.to_pydict()
 
 
+# ------------------------------------------------------------ RamDirectory
+
+
+def test_ram_directory_roundtrip():
+    from tantivy_ray.index import RamDirectory
+    from tantivy_ray.sources.writer import IndexWriter
+
+    with RamDirectory() as d:
+        path = d.path
+        w = IndexWriter(d.path, docs_per_segment=4)
+        for i in range(6):
+            w.add_document({"url": f"u{i}", "text": f"alpha beta doc{i}"})
+        w.commit()
+        assert d.exists("manifest.json")
+        assert d.total_bytes() > 0
+        s = IndexSearcher(d.path)
+        assert len(s.search(["alpha"], "or", 10)) == 6
+        d.atomic_write("probe.bin", b"xyz")
+        assert d.atomic_read("probe.bin") == b"xyz"
+    import os
+
+    assert not os.path.exists(path)  # dropped with the directory
+
+
 # ----------------------------------------------------------------- writer
 
 
