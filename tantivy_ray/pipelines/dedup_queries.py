@@ -27,14 +27,18 @@ COS_THRESHOLD = 0.45
 
 
 def _docs(sf_dir: str):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    # small doc tables split into few blocks by default; the signature
-    # stage is compute-heavy (per-shingle 64-bit mulmod x num_perm), so
-    # force enough blocks to use the whole CPU allotment
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"],
-                           override_num_blocks=32)
+    path = os.path.join(sf_dir, "documents.parquet")
+    # the signature stage is compute-heavy (per-shingle 64-bit mulmod x
+    # num_perm), so split into enough blocks to use the CPU allotment —
+    # but sort/groupby fixed cost scales with block COUNT, so tiny
+    # tables must not be over-split
+    n = pq.read_metadata(path).num_rows
+    blocks = max(2, min(32, n // 128))
+    return rd.read_parquet(path, columns=["doc_id", "text"],
+                           override_num_blocks=blocks)
 
 
 def q_minhash_lsh_dups(sf_dir: str) -> pa.Table:
