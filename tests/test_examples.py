@@ -15,7 +15,7 @@ LIGHT = ["basic_search.py", "analyzers.py", "fuzzy_and_prefix.py",
          "custom_collector.py", "faceted_search.py",
          "json_and_snippets.py"]
 RAY = ["aggregation.py", "distributed_build.py",
-       "deleting_updating_documents.py"]
+       "deleting_updating_documents.py", "warmed_searcher_pool.py"]
 
 
 def _run(name):
