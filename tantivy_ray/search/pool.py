@@ -32,12 +32,14 @@ from ..utils import remote_args
 
 
 class _SearcherHost:
-    """One pool replica: full-index searcher opened once in __init__."""
+    """One pool replica: its searcher (full index, or one shard of
+    segment ords) opened once in __init__."""
 
-    def __init__(self, index_dir: str, use_wand: bool):
+    def __init__(self, index_dir: str, use_wand: bool,
+                 segment_ords: Optional[List[int]] = None):
         from .searcher import IndexSearcher
 
-        self.searcher = IndexSearcher(index_dir)
+        self.searcher = IndexSearcher(index_dir, segment_ords)
         self.use_wand = use_wand
 
     def ready(self) -> bool:
@@ -46,20 +48,167 @@ class _SearcherHost:
         self.searcher._global_view()
         return True
 
-    def search_chunk(self, chunk: List[Tuple[int, List[str], str, int]]
-                     ) -> pa.Table:
+    def doc_freqs(self, terms: List[str]):
+        """Shard-local doc freqs (the sharded pool sums them globally)."""
+        return self.searcher.doc_freqs(terms)
+
+    def search_chunk(self, chunk: List[Tuple[int, List[str], str, int]],
+                     doc_freqs=None, with_rank: bool = True) -> pa.Table:
         out = {"query_id": [], "rank": [], "score": [], "segment_ord": [],
                "doc_id": []}
         for qid, terms, mode, k in chunk:
             if str(mode) == "phrase":
                 from .query import PhraseQuery
 
+                df_of = (None if doc_freqs is None
+                         else (lambda t: doc_freqs.get(t, 0)))
                 hits = self.searcher.search_query(
-                    PhraseQuery(list(terms)), int(k))
+                    PhraseQuery(list(terms)), int(k), doc_freq_of=df_of)
             else:
                 hits = self.searcher.search(
-                    list(terms), str(mode), int(k), use_wand=self.use_wand)
+                    list(terms), str(mode), int(k), doc_freqs=doc_freqs,
+                    use_wand=self.use_wand)
             for rank, (s, seg, doc) in enumerate(hits):
+                out["query_id"].append(int(qid))
+                out["rank"].append(rank)
+                out["score"].append(np.float32(s))
+                out["segment_ord"].append(seg)
+                out["doc_id"].append(doc)
+        cols = {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "score": pa.array(out["score"], type=pa.float32()),
+            "segment_ord": pa.array(out["segment_ord"], type=pa.int32()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+        if not with_rank:
+            cols.pop("rank")
+        return pa.table(cols)
+
+
+def _empty_result(with_rank: bool = True) -> pa.Table:
+    cols = {
+        "query_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int32()),
+        "score": pa.array([], type=pa.float32()),
+        "segment_ord": pa.array([], type=pa.int32()),
+        "doc_id": pa.array([], type=pa.int64()),
+    }
+    if not with_rank:
+        cols.pop("rank")
+    return pa.table(cols)
+
+
+class SearcherPool:
+    """Create once, query many times; ``close()`` (or GC) frees actors.
+
+    ``num_shards=1`` (default): ``size`` replicas each hold the FULL
+    index; batches split across replicas (throughput parallelism).
+    ``num_shards>1``: the segments are partitioned into shards, one
+    actor per shard (times ``size`` replicas per shard) — the serving
+    shape for an index larger than one node's memory.  A batch then
+    runs two rounds: shard-local doc freqs are summed into exact global
+    stats, every shard scores every query with those stats, and the
+    driver merges per-query top-k with the collector tie rule — the
+    persistent-actor analog of ``search_pipeline``'s scatter-gather,
+    f32/rank-identical to it (tests/test_round3_fixes.py)."""
+
+    def __init__(self, index_dir: str, size: int = 4,
+                 use_wand: bool = False, num_cpus: float = 1.0,
+                 num_shards: int = 1):
+        import ray
+
+        from ..index.manifest import load_manifest
+
+        host = ray.remote(_SearcherHost).options(
+            num_cpus=num_cpus, runtime_env=remote_args()["runtime_env"])
+        self.num_shards = max(1, num_shards)
+        if self.num_shards == 1:
+            self.shards: List[Optional[List[int]]] = [None]
+            self.actors = [host.remote(index_dir, use_wand)
+                           for _ in range(size)]
+            self._shard_of = [0] * size
+        else:
+            manifest = load_manifest(index_dir)
+            ords = [s["segment_ord"] for s in manifest.segments]
+            shards = [ords[i::self.num_shards]
+                      for i in range(self.num_shards)]
+            self.shards = [s for s in shards if s]
+            self.num_shards = len(self.shards)
+            replicas = max(1, size // self.num_shards)
+            self.actors = []
+            self._shard_of = []
+            for si, shard in enumerate(self.shards):
+                for _ in range(replicas):
+                    self.actors.append(
+                        host.remote(index_dir, use_wand, shard))
+                    self._shard_of.append(si)
+        self.size = len(self.actors)
+
+    def warm(self) -> None:
+        """Block until every replica has opened its index."""
+        import ray
+
+        ray.get([a.ready.remote() for a in self.actors])
+
+    def _one_actor_per_shard(self) -> List:
+        seen, picks = set(), []
+        for a, si in zip(self.actors, self._shard_of):
+            if si not in seen:
+                seen.add(si)
+                picks.append(a)
+        return picks
+
+    def search_batch(
+        self, queries: Sequence[Tuple[int, Sequence[str], str, int]],
+        chunks_per_actor: int = 1,
+    ) -> pa.Table:
+        """(query_id, terms, mode, k) batch → ranked Arrow table,
+        identical to ``search_pipeline`` at the same num_shards."""
+        import ray
+
+        queries = list(queries)
+        if self.num_shards > 1:
+            return self._search_batch_sharded(queries)
+        n_chunks = max(1, self.size * chunks_per_actor)
+        chunks = [queries[i::n_chunks] for i in range(n_chunks)]
+        refs = [
+            self.actors[i % self.size].search_chunk.remote(c)
+            for i, c in enumerate(chunks) if c
+        ]
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:
+            return _empty_result()
+        pdf = pa.concat_tables(tables).to_pandas()
+        pdf = pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def _search_batch_sharded(self, queries) -> pa.Table:
+        import ray
+
+        from .searcher import merge_topk
+
+        shard_actors = self._one_actor_per_shard()
+        terms = sorted({t for _, ts, _, _ in queries for t in ts})
+        # round 1: global stats = Σ shard-local doc freqs
+        partials = ray.get([a.doc_freqs.remote(terms)
+                            for a in shard_actors])
+        dfs = {t: sum(p.get(t, 0) for p in partials) for t in terms}
+        # round 2: every shard scores every query with the global stats
+        refs = [a.search_chunk.remote(queries, dfs, False)
+                for a in shard_actors]
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:
+            return _empty_result()
+        pdf = pa.concat_tables(tables).to_pandas()
+        k_of = {qid: k for qid, _, _, k in queries}
+        out = {"query_id": [], "rank": [], "score": [], "segment_ord": [],
+               "doc_id": []}
+        for qid, g in pdf.groupby("query_id", sort=True):
+            hits = [(float(np.float32(s)), int(a), int(b)) for s, a, b in
+                    zip(g["score"], g["segment_ord"], g["doc_id"])]
+            for rank, (s, seg, doc) in enumerate(
+                    merge_topk(hits, k_of.get(int(qid), 10))):
                 out["query_id"].append(int(qid))
                 out["rank"].append(rank)
                 out["score"].append(np.float32(s))
@@ -72,52 +221,6 @@ class _SearcherHost:
             "segment_ord": pa.array(out["segment_ord"], type=pa.int32()),
             "doc_id": pa.array(out["doc_id"], type=pa.int64()),
         })
-
-
-class SearcherPool:
-    """Create once, query many times; ``close()`` (or GC) frees actors."""
-
-    def __init__(self, index_dir: str, size: int = 4,
-                 use_wand: bool = False, num_cpus: float = 1.0):
-        import ray
-
-        host = ray.remote(_SearcherHost).options(
-            num_cpus=num_cpus, runtime_env=remote_args()["runtime_env"])
-        self.actors = [host.remote(index_dir, use_wand) for _ in range(size)]
-        self.size = size
-
-    def warm(self) -> None:
-        """Block until every replica has opened its index."""
-        import ray
-
-        ray.get([a.ready.remote() for a in self.actors])
-
-    def search_batch(
-        self, queries: Sequence[Tuple[int, Sequence[str], str, int]],
-        chunks_per_actor: int = 1,
-    ) -> pa.Table:
-        """(query_id, terms, mode, k) batch → ranked Arrow table,
-        identical to ``search_pipeline(..., num_shards=1)``."""
-        import ray
-
-        n_chunks = max(1, self.size * chunks_per_actor)
-        chunks = [list(queries)[i::n_chunks] for i in range(n_chunks)]
-        refs = [
-            self.actors[i % self.size].search_chunk.remote(c)
-            for i, c in enumerate(chunks) if c
-        ]
-        tables = [t for t in ray.get(refs) if t.num_rows]
-        if not tables:
-            return pa.table({
-                "query_id": pa.array([], type=pa.int64()),
-                "rank": pa.array([], type=pa.int32()),
-                "score": pa.array([], type=pa.float32()),
-                "segment_ord": pa.array([], type=pa.int32()),
-                "doc_id": pa.array([], type=pa.int64()),
-            })
-        pdf = pa.concat_tables(tables).to_pandas()
-        pdf = pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
 
     def close(self) -> None:
         import ray

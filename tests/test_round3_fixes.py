@@ -148,6 +148,36 @@ def test_single_pool_true_with_one_shard(tmp_path, ray_session):
     assert got.to_pydict() == want.to_pydict()
 
 
+def test_searcher_pool_sharded_parity(tmp_path, ray_session):
+    """Sharded SearcherPool (persistent scatter-gather: df round + score
+    round + driver merge) == search_pipeline(num_shards=3)."""
+    from tantivy_ray.pipelines.search_pipeline import search_pipeline
+    from tantivy_ray.search import SearcherPool
+
+    idx = build_test_index(tmp_path, CORPUS)
+    queries = [
+        (0, ["fox", "dog"], "or", 5),
+        (1, ["quick"], "or", 3),
+        (2, ["the", "quick"], "and", 10),
+        (3, ["quick", "brown", "fox"], "or", 10),
+        (4, ["zzz"], "or", 5),
+    ]
+    want = search_pipeline(idx, queries, num_shards=3, concurrency=1)
+    pool = SearcherPool(idx, size=3, num_shards=3)
+    pool.warm()
+    try:
+        got = pool.search_batch(queries)
+    finally:
+        pool.close()
+    wp = want.to_pandas().sort_values(["query_id", "rank"]).reset_index(
+        drop=True)
+    gp = got.to_pandas().sort_values(["query_id", "rank"]).reset_index(
+        drop=True)
+    assert gp[["query_id", "rank", "segment_ord", "doc_id"]].equals(
+        wp[["query_id", "rank", "segment_ord", "doc_id"]])
+    assert (gp["score"].to_numpy() == wp["score"].to_numpy()).all()
+
+
 def test_searcher_pool_parity(tmp_path, ray_session):
     """SearcherPool (persistent serving pool) == search_pipeline
     (per-execution Ray Data actor pool), f32/rank-identical."""
