@@ -377,6 +377,58 @@ class IndexSearcher:
         q = QueryParser(analyzer=self.manifest.analyzer).parse(query_text)
         return self.search_query(q, k)
 
+    def explain(self, terms: Sequence[str], segment_ord: int, doc_id: int,
+                doc_freqs: Optional[Dict[str, int]] = None) -> Dict:
+        """Score explanation for one document — the reference's
+        ``Query::explain`` / ``Explanation`` tree (src/query/query.rs:138,
+        src/query/explanation.rs; Bm25Weight::explain bm25.rs): per-term
+        idf·(k1+1) weight and tf/(tf+norm) factors, summed in term order
+        with the same f32 arithmetic as ``search`` — the root ``value``
+        is bit-identical to the hit's score."""
+        from ..fieldnorm import FIELD_NORMS_TABLE
+
+        reader = next(r for r in self.readers
+                      if r.segment_ord == segment_ord)
+        weights = self.make_weights(list(terms), doc_freqs)
+        dfs = doc_freqs or self.doc_freqs(list(terms))
+        fid = int(reader.fieldnorm_ids[doc_id])
+        total = np.float32(0.0)
+        details = []
+        for term, w in zip(terms, weights):
+            p = reader.postings(term)
+            if p is None:
+                continue
+            docs, tfs = p
+            i = int(np.searchsorted(docs, doc_id))
+            if i >= len(docs) or int(docs[i]) != doc_id:
+                continue
+            tf = int(tfs[i])
+            contrib = w.score(np.array([fid], dtype=np.uint8),
+                              np.array([tf], dtype=np.uint32))[0]
+            total = np.float32(total + contrib)
+            norm = float(w.cache[fid])
+            details.append({
+                "value": float(contrib),
+                "description": f"TermQuery, product of idf*(k1+1) and "
+                               f"tf/(tf + k1*(1-b+b*|d|/avg)) for "
+                               f"term={term!r}",
+                "details": [
+                    {"value": float(w.weight),
+                     "description": f"idf*(k1+1), doc_freq={dfs.get(term, 0)}"
+                                    f", total_docs={self.total_num_docs}"},
+                    {"value": float(tf), "description": "term frequency"},
+                    {"value": float(FIELD_NORMS_TABLE[fid]),
+                     "description": f"fieldnorm (decoded, id={fid})"},
+                    {"value": norm,
+                     "description": "k1*(1 - b + b*fieldnorm/avg_fieldnorm)"},
+                ],
+            })
+        return {
+            "value": float(total),
+            "description": "sum of term scores (BM25, f32, term order)",
+            "details": details,
+        }
+
     def hydrate(self, hits: Sequence[TopHit]):
         """(score, seg, doc) → list of dicts with the stored id column."""
         out = []

@@ -205,6 +205,30 @@ def test_searcher_pool_parity(tmp_path, ray_session):
     assert again.to_pydict() == want.to_pydict()
 
 
+def test_explain_matches_search_score(tmp_path):
+    """Query::explain analog: the explanation root value is bit-identical
+    to the hit's f32 score, and per-term details multiply out."""
+    idx = build_test_index(tmp_path, CORPUS)
+    s = IndexSearcher(idx)
+    for terms, mode in [(["fox", "dog"], "or"), (["quick"], "or"),
+                        (["the", "quick"], "and")]:
+        for score, seg, doc in s.search(terms, mode, 5):
+            ex = s.explain(terms, seg, doc)
+            assert np.float32(ex["value"]) == np.float32(score), (terms, doc)
+            assert ex["details"], "no per-term details"
+            for d in ex["details"]:
+                w = next(x["value"] for x in d["details"]
+                         if x["description"].startswith("idf"))
+                tf = next(x["value"] for x in d["details"]
+                          if x["description"] == "term frequency")
+                norm = next(x["value"] for x in d["details"]
+                            if x["description"].startswith("k1*"))
+                expect = np.float32(
+                    np.float32(w) * np.float32(
+                        np.float32(tf) / np.float32(np.float32(tf) + np.float32(norm))))
+                assert np.float32(d["value"]) == expect
+
+
 # ------------------------------------------------------------ RamDirectory
 
 
