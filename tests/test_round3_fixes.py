@@ -56,6 +56,32 @@ class TestSparseScorer:
         assert peak - base < 300_000, (
             f"query allocated {peak - base} bytes — dense accumulator?")
 
+    def test_sparse_accumulate_equals_dense_reference(self):
+        """Property: _sparse_accumulate == an explicit dense accumulator
+        (same f32 op order) on random posting lists."""
+        from tantivy_ray.search.searcher import _sparse_accumulate
+
+        rng = np.random.default_rng(11)
+        for trial in range(200):
+            n_docs = int(rng.integers(5, 200))
+            n_terms = int(rng.integers(1, 6))
+            parts = []
+            for _ in range(n_terms):
+                k = int(rng.integers(0, n_docs + 1))
+                docs = np.sort(rng.choice(n_docs, size=k, replace=False))
+                sc = rng.random(k).astype(np.float32)
+                parts.append((docs.astype(np.int64), sc))
+            dense = np.zeros(n_docs, dtype=np.float32)
+            cnt = np.zeros(n_docs, dtype=np.int32)
+            for docs, sc in parts:
+                dense[docs] += sc
+                cnt[docs] += 1
+            u, acc, nm = _sparse_accumulate(parts)
+            expect = np.flatnonzero(cnt > 0)
+            assert (u == expect).all(), trial
+            assert (acc == dense[expect]).all(), trial  # bit-exact f32
+            assert (nm == cnt[expect]).all(), trial
+
     def test_sparse_matches_oracle(self, big_sparse_index):
         idx, segs = big_sparse_index
         s = IndexSearcher(idx)
@@ -184,13 +210,14 @@ def test_searcher_pool_parity(tmp_path, ray_session):
     from tantivy_ray.pipelines.search_pipeline import search_pipeline
     from tantivy_ray.search import SearcherPool
 
-    idx = build_test_index(tmp_path, CORPUS)
+    idx = build_test_index(tmp_path, CORPUS, record_positions=True)
     queries = [
         (0, ["fox", "dog"], "or", 5),
         (1, ["quick"], "or", 3),
         (2, ["the", "quick"], "and", 10),
         (3, ["zzz"], "or", 5),
         (4, ["quick", "brown", "fox"], "or", 10),
+        (5, ["brown", "fox"], "phrase", 5),
     ]
     want = search_pipeline(idx, queries, num_shards=1, concurrency=1)
     pool = SearcherPool(idx, size=2)
