@@ -540,6 +540,18 @@ class MergedSearcher:
             for s, si, d in zip(scores, seg_of, cand)
         ]
 
+    def search_fuzzy(self, term: str, distance: int = 1, k: int = 10,
+                     transposition: bool = True):
+        """FuzzyTermQuery from the merged index: expand against the
+        global vocabulary, then a Should-union where each matched term
+        keeps its own idf (reference fuzzy scoring shape)."""
+        exp = self.reader.expand_fuzzy(term, distance, transposition)
+        return self.search(exp, "or", k) if exp else []
+
+    def search_regex(self, pattern: str, k: int = 10):
+        exp = self.reader.expand_regex(pattern)
+        return self.search(exp, "or", k) if exp else []
+
     def search_phrase(self, terms, k: int = 10, slop: int = 0):
         """PhraseQuery served from the MERGED index: positions carried
         through the merge (pass-through streams), matching f32-identical
@@ -621,6 +633,39 @@ class MergedIndexReader:
             return int(self._df.get(term, 0))
         o = self._term_ord(term)
         return int(self._dfs[o]) if o is not None else 0
+
+    def expand_fuzzy(self, term: str, distance: int = 1,
+                     transposition: bool = True,
+                     prefix: bool = False) -> List[str]:
+        """Vocabulary terms within Levenshtein ``distance`` of ``term`` —
+        the lazy-DFA x sorted-term-dict intersection runs directly on the
+        merged GLOBAL term_stats table (one sorted vocabulary for the
+        whole corpus, where the source index intersects per segment)."""
+        from ..search.automaton import (LevenshteinAutomaton,
+                                        intersect_sorted_terms)
+
+        aut = LevenshteinAutomaton(term, distance,
+                                   transposition=transposition,
+                                   prefix=prefix)
+        ords = intersect_sorted_terms(self._terms_arr, aut)
+        return [self._terms_arr[i].as_py() for i in ords]
+
+    def expand_regex(self, pattern: str) -> List[str]:
+        """Vocabulary terms fullmatching ``pattern`` (compiled-automaton
+        trie walk; python-`re` fallback outside the compiled subset)."""
+        import re as _re
+
+        from ..search.automaton import (RegexAutomaton, UnsupportedRegex,
+                                        intersect_sorted_terms)
+
+        try:
+            aut = RegexAutomaton(pattern)
+        except UnsupportedRegex:
+            rx = _re.compile(pattern)
+            return [t for t in self._terms_arr.to_pylist()
+                    if rx.fullmatch(t)]
+        ords = intersect_sorted_terms(self._terms_arr, aut)
+        return [self._terms_arr[i].as_py() for i in ords]
 
     def has_term(self, term: str) -> bool:
         return self.doc_freq(term) > 0

@@ -59,6 +59,37 @@ class TestMergedSearcher:
             checked += len(want)
         assert checked > 0  # at least one phrase actually matched
 
+    def test_fuzzy_regex_from_merged_index(self, tmp_path):
+        """Automaton queries served from the merged GLOBAL vocabulary:
+        expansions equal the union of per-segment expansions, and the
+        term-union search is identical to the source searcher's."""
+        from tantivy_ray.search.query import (FuzzyTermQuery, expand_fuzzy,
+                                              expand_regex)
+
+        idx = str(tmp_path / "ixa")
+        build_index(DOCS, idx, id_col="doc_id", docs_per_segment=120)
+        merged = str(tmp_path / "mergeda")
+        merge_segments(idx, merged, salt_block_docs=200, num_buckets=8)
+        from tantivy_ray.index.merge import MergedIndexReader
+
+        ms = MergedSearcher(merged, idx)
+        s = IndexSearcher(idx)
+        r = MergedIndexReader(merged)
+
+        exp_m = r.expand_fuzzy("tabel", 1, transposition=True)
+        fq = FuzzyTermQuery("tabel", distance=1, transposition=True)
+        exp_s = sorted({t for rd in s.readers
+                        for t in expand_fuzzy(rd, fq)})
+        assert exp_m == exp_s and exp_m  # non-empty, same vocab
+
+        exp_rm = r.expand_regex(r"tab\w*")
+        exp_rs = sorted({t for rd in s.readers
+                         for t in expand_regex(rd, r"tab\w*")})
+        assert exp_rm == exp_rs and exp_rm
+
+        assert ms.search_fuzzy("tabel", 1, 10) == s.search(exp_s, "or", 10)
+        assert ms.search_regex(r"tab\w*", 10) == s.search(exp_rs, "or", 10)
+
     def test_phrase_from_merged_index_with_deletes(self, tmp_path):
         from tantivy_ray.index.deletes import delete_by_term
 
