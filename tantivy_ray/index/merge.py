@@ -459,11 +459,47 @@ def merge_segments(
     num_terms = sum(
         f.metadata.num_rows for f in _stats_fragments(stats_dir))
 
+    # self-containment: copy per-segment fieldnorm bytes (one small Ray
+    # task per chunk of segments — never concatenated on the driver) and
+    # record the segment → global-doc-base map, so the merged output can
+    # SERVE without the source index open (the reference's merged segment
+    # likewise carries its own fieldnorm file)
+    import ray as _ray
+
+    fn_dir = os.path.join(merged_dir, "fieldnorms")
+    shutil.rmtree(fn_dir, ignore_errors=True)
+    os.makedirs(fn_dir, exist_ok=True)
+
+    @_ray.remote
+    def copy_fieldnorms(ords_chunk):
+        for o in ords_chunk:
+            src = os.path.join(index_dir, segment_dir_name(o),
+                               "fieldnorms.bin")
+            shutil.copyfile(
+                src, os.path.join(fn_dir, f"seg_{o:06d}.bin"))
+        return len(ords_chunk)
+
+    all_ords = [s["segment_ord"] for s in manifest.segments]
+    chunks = [all_ords[i::8] for i in range(8) if all_ords[i::8]]
+    from ..utils import worker_runtime_env
+
+    _ray.get([copy_fieldnorms.options(
+        runtime_env=worker_runtime_env()).remote(c) for c in chunks])
+
+    seg_meta = []
+    base = 0
+    for s in manifest.segments:
+        seg_meta.append({"segment_ord": s["segment_ord"],
+                         "doc_base": base,
+                         "num_docs": s["num_docs"]})
+        base += s["num_docs"]
+
     meta = {
         "source_index": index_dir,
         "num_terms": int(num_terms),
         "total_num_docs": manifest.total_num_docs,
         "total_num_tokens": manifest.total_num_tokens,
+        "segments": seg_meta,
         "salt_block_docs": salt_block_docs,
         "num_buckets": num_buckets,
     }
@@ -483,21 +519,55 @@ class MergedSearcher:
     segments (same postings, same f32 kernel) — the demonstration that
     the wide groupby-term merge yields a servable index."""
 
-    def __init__(self, merged_dir: str, index_dir: str):
+    def __init__(self, merged_dir: str, index_dir: Optional[str] = None):
+        """``index_dir=None`` serves STANDALONE from the merged output:
+        fieldnorms were copied per segment at merge time and global
+        stats live in merged_meta.json, so the source index need not be
+        open (its doc stores are still where hydration happens)."""
         from ..search.searcher import IndexSearcher
 
         self.reader = MergedIndexReader(merged_dir)
-        self._src = IndexSearcher(index_dir)
-        self._gv = self._src._global_view()
-        self.total_num_docs = self._src.total_num_docs
-        self.average_fieldnorm = self._src.average_fieldnorm
+        if index_dir is not None:
+            self._src = IndexSearcher(index_dir)
+            self._gv = self._src._global_view()
+            self._ords = [r.segment_ord for r in self._src.readers]
+            self.total_num_docs = self._src.total_num_docs
+            self.average_fieldnorm = self._src.average_fieldnorm
+        else:
+            meta = self.reader.meta
+            segs = meta.get("segments")
+            if segs is None:
+                raise ValueError(
+                    "standalone serving needs a merge output with "
+                    "embedded fieldnorms (re-run merge_segments)")
+            self._src = None
+            fn_dir = os.path.join(merged_dir, "fieldnorms")
+            parts = [np.memmap(
+                os.path.join(fn_dir, f"seg_{s['segment_ord']:06d}.bin"),
+                dtype=np.uint8, mode="r") for s in segs]
+            bases = np.zeros(len(segs) + 1, dtype=np.int64)
+            for i, s in enumerate(segs):
+                bases[i + 1] = bases[i] + int(s["num_docs"])
+            fids = (np.concatenate([np.asarray(p) for p in parts])
+                    if parts else np.empty(0, np.uint8))
+            self._gv = {"bases": bases, "fids": fids, "alive": None}
+            self._ords = [int(s["segment_ord"]) for s in segs]
+            self.total_num_docs = int(meta["total_num_docs"])
+            self.average_fieldnorm = np.float32(
+                np.float32(meta["total_num_tokens"])
+                / np.float32(max(1, self.total_num_docs)))
+
+    def _make_weights(self, terms, dfs):
+        from ..bm25 import Bm25Weight
+
+        return [Bm25Weight.for_one_term(
+            max(dfs.get(t, 0), 1), self.total_num_docs,
+            self.average_fieldnorm) for t in terms]
 
     def search(self, terms, mode: str = "or", k: int = 10):
-        from ..search.searcher import merge_topk
-
         terms = list(terms)
         dfs = {t: self.reader.doc_freq(t) for t in terms}
-        weights = self._src.make_weights(terms, dfs)
+        weights = self._make_weights(terms, dfs)
         from ..search.searcher import _sparse_accumulate
 
         gv = self._gv
@@ -534,9 +604,8 @@ class MergedSearcher:
         order = np.lexsort((cand, -scores))[:k]
         cand, scores = cand[order], scores[order]
         seg_of = np.searchsorted(gv["bases"], cand, side="right") - 1
-        ords = [r.segment_ord for r in self._src.readers]
         return [
-            (float(s), ords[int(si)], int(d - gv["bases"][int(si)]))
+            (float(s), self._ords[int(si)], int(d - gv["bases"][int(si)]))
             for s, si, d in zip(scores, seg_of, cand)
         ]
 

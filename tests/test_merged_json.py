@@ -59,6 +59,29 @@ class TestMergedSearcher:
             checked += len(want)
         assert checked > 0  # at least one phrase actually matched
 
+    def test_standalone_merged_searcher(self, tmp_path):
+        """The merged output is self-contained: fieldnorms + doc bases +
+        global stats are carried at merge time, so MergedSearcher serves
+        WITHOUT the source index open — identical hits."""
+        idx = str(tmp_path / "ixs")
+        build_index(DOCS, idx, id_col="doc_id", docs_per_segment=120,
+                    record_positions=True)
+        merged = str(tmp_path / "mergeds")
+        merge_segments(idx, merged, salt_block_docs=200, num_buckets=8)
+        backed = MergedSearcher(merged, idx)
+        standalone = MergedSearcher(merged)  # no index_dir
+        s = IndexSearcher(idx)
+        for terms, mode, k in [(["table", "merge"], "or", 10),
+                               (["the"], "or", 25),
+                               (["key", "value"], "and", 12)]:
+            want = s.search(terms, mode, k)
+            assert backed.search(terms, mode, k) == want
+            assert standalone.search(terms, mode, k) == want
+        assert standalone.search_phrase(["of", "the"], 10) == \
+            s.search_phrase(["of", "the"], 10)
+        assert standalone.search_fuzzy("tabel", 1, 10) == \
+            backed.search_fuzzy("tabel", 1, 10)
+
     def test_fuzzy_regex_from_merged_index(self, tmp_path):
         """Automaton queries served from the merged GLOBAL vocabulary:
         expansions equal the union of per-segment expansions, and the
