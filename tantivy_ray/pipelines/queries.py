@@ -223,6 +223,34 @@ def q_topk_bm25(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+def q_topk_bm25_merged(sf_dir: str) -> pa.Table:
+    """Same result as topk_bm25 but served from the STANDALONE merged
+    index (groupby-term merge output: term-partitioned parquet +
+    embedded fieldnorms — no source segment open during scoring): the
+    wide shuffle's output is itself an oracle-checked serving index."""
+    from ..index.merge import MergedSearcher, merge_segments
+    from ..search import IndexSearcher
+
+    idx = build_docs_index(sf_dir)
+    merged = idx + "_merged"
+    if not os.path.exists(os.path.join(merged, "merged_meta.json")):
+        merge_segments(idx, merged, salt_block_docs=4096, num_buckets=8)
+    ms = MergedSearcher(merged)  # standalone: no index_dir
+    rows = []
+    for qid, terms, mode, k in DOC_QUERIES:
+        for rank, (_s, seg, doc) in enumerate(ms.search(terms, mode, k)):
+            rows.append((qid, rank, seg, doc))
+    s = IndexSearcher(idx)  # doc-key hydration only
+    keys = s.resolve_doc_keys([(r[2], r[3]) for r in rows])
+    pdf = pd.DataFrame({
+        "query_id": [r[0] for r in rows],
+        "rank": [r[1] for r in rows],
+        "doc_id": [int(k) for k in keys],
+    }).astype("int64").sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_topk_bm25_wand(sf_dir: str) -> pa.Table:
     """Same result as topk_bm25 but through block-max WAND — the pruning
     scale path proven rank-identical at the correctness gate."""
@@ -616,6 +644,7 @@ QUERIES: Dict = {
     "top_terms": q_top_terms,
     "topk_bm25": q_topk_bm25,
     "topk_bm25_wand": q_topk_bm25_wand,
+    "topk_bm25_merged": q_topk_bm25_merged,
     "topk_bm25_sharded": q_topk_bm25_sharded,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
@@ -637,6 +666,7 @@ ORACLE_SQL: Dict[str, str] = {
     "top_terms": SQL_TOP_TERMS,
     "topk_bm25": _sql_topk_bm25(),
     "topk_bm25_wand": _sql_topk_bm25(),
+    "topk_bm25_merged": _sql_topk_bm25(),
     "topk_bm25_sharded": _sql_topk_bm25(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "fingerprint": SQL_FINGERPRINT,
