@@ -67,6 +67,26 @@ class TestCompaction:
                  for h in s2.search(q, "or", 15)]
         assert after == before  # same docs, identical f32 scores
 
+    def test_compact_preserves_positions(self, tmp_path):
+        """Phrase queries still work after compaction (positions are
+        rebuilt with the compacted segments per the manifest flag) and
+        return the same docs with identical f32 scores."""
+        idx = str(tmp_path / "ixp")
+        build_index(DOCS, idx, id_col="doc_id", docs_per_segment=100,
+                    record_positions=True, fast_fields=["text"])
+        s = IndexSearcher(idx)
+        phrase = ["table", "scan"]
+        before = [(h[0], s.hydrate([h])[0]["doc_id"])
+                  for h in s.search_phrase(phrase, 10)]
+        assert before  # the corpus contains the phrase
+        res = compact(idx, LogMergePolicy(min_num_segments=3,
+                                          min_layer_size=10))
+        assert res["new_segments"]
+        s2 = IndexSearcher(idx)
+        after = [(h[0], s2.hydrate([h])[0]["doc_id"])
+                 for h in s2.search_phrase(phrase, 10)]
+        assert after == before
+
     def test_compact_with_deletes_equals_fresh_rebuild(self, tmp_path):
         """After dropping deletes, compaction updates global stats (the
         reference's merge-updates-stats semantics): the compacted index
