@@ -761,11 +761,21 @@ def run_aggregations(ds, aggs: Dict[str, Dict],
 
 def aggregate_partials(ds, aggs: Dict[str, Dict],
                        batch_size: int = 65536,
-                       max_buckets: int = DEFAULT_MAX_BUCKETS) -> Dict:
+                       max_buckets: int = DEFAULT_MAX_BUCKETS,
+                       tree_threshold: int = 256,
+                       tree_width: int = 32) -> Dict:
     """Run the distributed partial+merge phases ONCE and return the
     merged intermediate (finalize separately — e.g. composite after-key
     pagination re-finalizes many pages from one cached partial instead
-    of re-running the whole aggregation per page)."""
+    of re-running the whole aggregation per page).
+
+    The final merge is driver-side SEQUENTIAL while the partial count is
+    small (identical merge order and float behavior at test scale); past
+    ``tree_threshold`` partials, distributed tree-reduce rounds
+    (``map_batches`` merging ``tree_width`` partials per task) shrink
+    the set first — at web scale the driver never folds 10^5 partials
+    one by one (partial merges are associative: sums/counts exact,
+    sketch merges are bucket/register-wise maxima or additions)."""
     from .utils import remote_args
 
     def partial_fn(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
@@ -780,6 +790,28 @@ def aggregate_partials(ds, aggs: Dict[str, Dict],
         **remote_args(),
     )
     import pickle
+
+    def merge_block(batch: Dict[str, np.ndarray]) -> Dict[str, list]:
+        ps = [pickle.loads(b) for b in batch["partial"]]
+        m = ps[0]
+        for p in ps[1:]:
+            m = merge_partials(aggs, m, p)
+            check_limits(m, max_buckets)
+        return {"partial": np.array([pickle.dumps(m)], dtype=object)}
+
+    # materialize: count() + the consuming loop must not re-execute the
+    # tokenizing/scanning upstream (partials are tiny)
+    parts = parts.materialize()
+    n = parts.count()
+    while n > tree_threshold:
+        parts = parts.map_batches(
+            merge_block, batch_format="numpy", batch_size=tree_width,
+            **remote_args(),
+        ).materialize()
+        n_next = parts.count()
+        if n_next >= n:  # safety: no progress → fall through to driver
+            break
+        n = n_next
 
     merged: Optional[Dict] = None
     for row in parts.iter_rows():

@@ -293,6 +293,31 @@ class TestRayExecution:
         }, batch_size=1000)
         assert sum(b["doc_count"] for b in res["flags"]["buckets"]) == 6000
 
+    def test_tree_reduce_equals_sequential(self, sf_dir):
+        """The distributed tree-reduce (engaged past tree_threshold
+        partials — the web-scale path) merges to the same final result
+        as the sequential driver fold (partial merges associative)."""
+        import os
+
+        import ray.data as rd
+
+        from tantivy_ray.aggregations import aggregate_partials, finalize
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_returnflag", "l_quantity"])
+        aggs = {
+            "flags": {"terms": {"field": "l_returnflag", "size": 5},
+                      "aggs": {"s": {"stats": {"field": "l_quantity"}}}},
+            "card": {"cardinality": {"field": "l_returnflag"}},
+            "pct": {"percentiles": {"field": "l_quantity",
+                                    "percents": [50, 95]}},
+        }
+        # batch_size=100 → ~60 partials; threshold 8 forces 2+ tree rounds
+        seq = finalize(aggs, aggregate_partials(ds, aggs, batch_size=100))
+        tree = finalize(aggs, aggregate_partials(
+            ds, aggs, batch_size=100, tree_threshold=8, tree_width=4))
+        assert tree == seq
+
 
 class TestTermsCustomOrder:
     def test_order_by_key_and_count(self):
