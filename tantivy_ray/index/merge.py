@@ -583,9 +583,10 @@ class MergedSearcher:
             parts.append((docs, w.score(fids[docs], tfs)))
         if mode == "and" and n_present < len(terms):
             return []
-        # candidate-sparse accumulation (O(matched postings), never
-        # O(corpus docs)) — same serving-path discipline as IndexSearcher
-        cand, scores, nmatch = _sparse_accumulate(parts)
+        # candidate-sparse accumulation (O(matched postings); dense-query
+        # cutover inside) — same serving-path discipline as IndexSearcher
+        cand, scores, nmatch = _sparse_accumulate(
+            parts, int(gv["bases"][-1]))
         if mode == "and":
             keep = nmatch == len(terms)
             cand, scores = cand[keep], scores[keep]

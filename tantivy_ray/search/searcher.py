@@ -38,9 +38,15 @@ from .wand import block_max_wand_topk
 
 TopHit = Tuple[float, int, int]  # (score_f32, segment_ord, doc_id)
 
+# below this many total postings the sparse path always wins; above it a
+# query touching >1/4 of the doc space takes one dense O(n) pass instead
+# of the O(P log P) unique+sort (results identical either way)
+_DENSE_CUTOVER_MIN = 4096
+
 
 def _sparse_accumulate(
     parts: Sequence[Tuple[np.ndarray, np.ndarray]],
+    n_docs: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Union-of-candidates BM25 accumulation — the default scorer's core.
 
@@ -67,6 +73,20 @@ def _sparse_accumulate(
         docs, sc = parts[0]
         return docs, sc.astype(np.float32, copy=False), np.ones(
             len(docs), dtype=np.int32)
+    total = sum(len(d) for d, _ in parts)
+    if n_docs is not None and total > max(_DENSE_CUTOVER_MIN, n_docs // 4):
+        # DENSE-QUERY cutover: when the candidate volume approaches the
+        # doc space (stop-word-heavy queries), the O(P log P) unique+sort
+        # costs more than one O(n) dense pass — and the dense accumulator
+        # is then proportional to the output anyway.  Same per-doc f32 op
+        # order, so results stay bit-identical to the sparse path.
+        acc_d = np.zeros(n_docs, dtype=np.float32)
+        cnt_d = np.zeros(n_docs, dtype=np.int32)
+        for docs, sc in parts:
+            acc_d[docs] += sc
+            cnt_d[docs] += 1
+        u = np.flatnonzero(cnt_d > 0)
+        return u, acc_d[u], cnt_d[u]
     u = np.unique(np.concatenate([d for d, _ in parts]))
     acc = np.zeros(len(u), dtype=np.float32)
     cnt = np.zeros(len(u), dtype=np.int32)
@@ -106,7 +126,8 @@ class SegmentSearcher:
             parts.append((docs, w.score(fids[docs], tfs)))
         if mode == "and" and len(parts) < len(terms):
             return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float32)
-        cand, scores, nmatch = _sparse_accumulate(parts)
+        cand, scores, nmatch = _sparse_accumulate(parts,
+                                                  self.reader.num_docs)
         if mode == "and":
             keep = nmatch == len(terms)
             cand, scores = cand[keep], scores[keep]
@@ -299,7 +320,8 @@ class IndexSearcher:
             parts.append((docs, w.score(fids[docs], tfs)))
         if mode == "and" and n_present < len(terms):
             return []
-        cand, scores, nmatch = _sparse_accumulate(parts)
+        cand, scores, nmatch = _sparse_accumulate(
+            parts, int(gv["bases"][-1]))
         if mode == "and":
             keep = nmatch == len(terms)
             cand, scores = cand[keep], scores[keep]

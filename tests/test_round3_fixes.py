@@ -82,6 +82,26 @@ class TestSparseScorer:
             assert (acc == dense[expect]).all(), trial  # bit-exact f32
             assert (nm == cnt[expect]).all(), trial
 
+    def test_dense_cutover_identical(self, monkeypatch):
+        """The dense-query cutover branch produces the exact same
+        (docs, scores, counts) as the sparse branch."""
+        import tantivy_ray.search.searcher as smod
+        from tantivy_ray.search.searcher import _sparse_accumulate
+
+        rng = np.random.default_rng(5)
+        n_docs = 500
+        parts = []
+        for _ in range(4):
+            k = int(rng.integers(n_docs // 2, n_docs))
+            docs = np.sort(rng.choice(n_docs, size=k, replace=False))
+            parts.append((docs.astype(np.int64),
+                          rng.random(k).astype(np.float32)))
+        sparse = _sparse_accumulate(parts)           # no n_docs → sparse
+        monkeypatch.setattr(smod, "_DENSE_CUTOVER_MIN", 0)
+        dense = _sparse_accumulate(parts, n_docs)    # forced dense branch
+        for a, b in zip(sparse, dense):
+            assert (a == b).all()
+
     def test_sparse_matches_oracle(self, big_sparse_index):
         idx, segs = big_sparse_index
         s = IndexSearcher(idx)
