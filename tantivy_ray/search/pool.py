@@ -120,6 +120,7 @@ class SearcherPool:
 
         from ..index.manifest import load_manifest
 
+        self._config = (index_dir, size, use_wand, num_cpus, num_shards)
         host = ray.remote(_SearcherHost).options(
             num_cpus=num_cpus, runtime_env=remote_args()["runtime_env"])
         self.num_shards = max(1, num_shards)
@@ -221,6 +222,29 @@ class SearcherPool:
             "segment_ord": pa.array(out["segment_ord"], type=pa.int32()),
             "doc_id": pa.array(out["doc_id"], type=pa.int64()),
         })
+
+    def reload(self) -> None:
+        """Swap every replica to a fresh point-in-time snapshot of the
+        CURRENT commit (the reference's IndexReader reload: a new
+        searcher generation is warmed, then the old one is dropped —
+        queries in flight on old actors finish against the old
+        snapshot; new batches see the new commit)."""
+        old = self.actors
+        fresh = SearcherPool(self._config[0], size=self._config[1],
+                             use_wand=self._config[2],
+                             num_cpus=self._config[3],
+                             num_shards=self._config[4])
+        fresh.warm()
+        self.actors = fresh.actors
+        self._shard_of = fresh._shard_of
+        self.shards = fresh.shards
+        self.num_shards = fresh.num_shards
+        self.size = fresh.size
+        fresh.actors = []  # ownership moved; don't let GC kill them
+        import ray
+
+        for a in old:
+            ray.kill(a, no_restart=True)
 
     def close(self) -> None:
         import ray

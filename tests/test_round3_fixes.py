@@ -252,6 +252,32 @@ def test_searcher_pool_parity(tmp_path, ray_session):
     assert again.to_pydict() == want.to_pydict()
 
 
+def test_searcher_pool_reload_sees_new_commit(tmp_path, ray_session):
+    """pool.reload() = IndexReader reload: new batches see documents
+    committed after the pool was created."""
+    from tantivy_ray.search import SearcherPool
+    from tantivy_ray.sources.writer import IndexWriter
+
+    idx = str(tmp_path / "rl")
+    w = IndexWriter(idx, docs_per_segment=4)
+    for i in range(4):
+        w.add_document({"url": f"a{i}", "text": "alpha common"})
+    w.commit()
+    pool = SearcherPool(idx, size=2)
+    pool.warm()
+    try:
+        q = [(0, ["freshterm"], "or", 10)]
+        assert pool.search_batch(q).num_rows == 0
+        for i in range(3):
+            w.add_document({"url": f"b{i}", "text": "freshterm common"})
+        w.commit()
+        assert pool.search_batch(q).num_rows == 0  # old snapshot
+        pool.reload()
+        assert pool.search_batch(q).num_rows == 3  # new generation
+    finally:
+        pool.close()
+
+
 def test_explain_matches_search_score(tmp_path):
     """Query::explain analog: the explanation root value is bit-identical
     to the hit's f32 score, and per-term details multiply out."""
