@@ -8,9 +8,12 @@ the driver only ever holds block REFERENCES and the (small) verified
 pair table.  O(N²/B) FLOPs total, spread over B(B+1)/2 tasks; exact, so
 it matches the brute-force SQL oracle.
 
-``method="lsh"``: random-hyperplane sign-bucketing via a ``groupby``;
-only same-bucket pairs are compared.  Approximate (recall → 1 as
-threshold → 1) but linear shuffle volume — the 100-TB path.
+``method="lsh"``: banded random-hyperplane sign-bucketing via ONE
+``sort(bucket)`` + a whole-block vectorized run-length scan (the same
+pattern as the minhash chain); only same-bucket pairs are compared.
+Approximate (multi-table banding keeps recall high) but linear shuffle
+volume — the 100-TB path, and the auto-selected default above
+``exact_max_rows`` rows.
 """
 
 from __future__ import annotations
@@ -154,7 +157,6 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
     within buckets — linear shuffle volume x n_tables, the web-scale
     path.  lsh_bits=0 auto-sizes bits to log2(rows/64) so per-bucket
     work stays bounded as the corpus grows."""
-    import pandas as pd
 
     if lsh_bits <= 0:
         n = ds.count()
@@ -196,20 +198,48 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
     bucketed = ds.map_batches(stage, batch_format="pyarrow",
                               **remote_args())
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        ids = g[id_col].to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-        rows = _block_pairs_task(ids, m, ids, m, True, threshold)
-        return pd.DataFrame({
-            "id_a": [r[0] for r in rows],
-            "id_b": [r[1] for r in rows],
-            "cos": [round(r[2], 6) for r in rows],
+    def bucket_pairs_block(tbl: pa.Table) -> pa.Table:
+        """ALL buckets in one bucket-sorted block: singleton buckets (the
+        vast majority at well-sized bits) are skipped vectorized via
+        run-lengths; only real buckets matmul.  Same sort+block pattern
+        as the minhash chain — no per-group pandas dispatch."""
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "cos": pa.array([], type=pa.float64())})
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        b = tbl.column("bucket").to_numpy()
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        multi = (ends - starts) >= 2
+        if not multi.any():
+            return empty
+        ids = tbl.column(id_col).to_numpy()
+        vl = tbl.column(vec_col).combine_chunks()
+        flat = np.asarray(vl.values, dtype=np.float64)
+        dim = len(flat) // n
+        m = flat.reshape(n, dim)
+        rows = []
+        for s, e in zip(starts[multi], ends[multi]):
+            rows.extend(_block_pairs_task(ids[s:e], m[s:e],
+                                          ids[s:e], m[s:e],
+                                          True, threshold))
+        if not rows:
+            return empty
+        return pa.table({
+            "id_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "id_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "cos": pa.array([round(r[2], 6) for r in rows],
+                            type=pa.float64()),
         })
 
-    pdf = (bucketed.groupby("bucket")
-           .map_groups(bucket_pairs, batch_format="pandas", **remote_args())
+    pdf = (bucketed.sort("bucket")
+           .map_batches(bucket_pairs_block, batch_size=None,
+                        batch_format="pyarrow", **remote_args())
            .to_pandas().drop_duplicates(ignore_index=True))
     rows = [(int(a), int(b), float(c))
             for a, b, c in pdf.itertuples(index=False)]
