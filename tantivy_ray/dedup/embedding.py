@@ -26,13 +26,22 @@ import pyarrow as pa
 from ..utils import remote_args
 
 
+def _vec_matrix(col) -> np.ndarray:
+    """ListArray of fixed-dim vectors → (rows, dim) float64 matrix, one
+    zero-copy-ish reshape of the flat child values (no per-row python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = np.asarray(col.values, dtype=np.float64)
+    return flat.reshape(n, len(flat) // n) if n else np.zeros((0, 1))
+
+
 def _normalize_stage(vec_col: str, id_col: str):
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         ids = batch.column(id_col).cast(pa.int64()).to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch.column(vec_col).to_pylist()])
+        m = _vec_matrix(batch.column(vec_col))
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
@@ -115,10 +124,7 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
     @ray.remote
     def to_matrix(tbl: pa.Table):
         ids = tbl.column(id_col).to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in tbl.column(vec_col).to_pylist()]) \
-            if tbl.num_rows else np.zeros((0, 1))
-        return ids, m
+        return ids, _vec_matrix(tbl.column(vec_col))
 
     @ray.remote
     def pair_task(blk_a, blk_b, same: bool, threshold: float):
@@ -169,8 +175,7 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
                              id_col: pa.array([], type=pa.int64()),
                              vec_col: pa.array([], type=pa.list_(pa.float64()))})
         ids = batch.column(id_col).cast(pa.int64()).to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch.column(vec_col).to_pylist()])
+        m = _vec_matrix(batch.column(vec_col))
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
