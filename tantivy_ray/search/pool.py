@@ -191,10 +191,18 @@ class SearcherPool:
 
         shard_actors = self._one_actor_per_shard()
         terms = sorted({t for _, ts, _, _ in queries for t in ts})
-        # round 1: global stats = Σ shard-local doc freqs
-        partials = ray.get([a.doc_freqs.remote(terms)
-                            for a in shard_actors])
-        dfs = {t: sum(p.get(t, 0) for p in partials) for t in terms}
+        # round 1: global stats = Σ shard-local doc freqs — cached across
+        # batches (a snapshot pool serves ONE commit; reload() clears)
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            partials = ray.get([a.doc_freqs.remote(missing)
+                                for a in shard_actors])
+            for t in missing:
+                cache[t] = sum(p.get(t, 0) for p in partials)
+        dfs = {t: cache[t] for t in terms}
         # round 2: every shard scores every query with the global stats
         refs = [a.search_chunk.remote(queries, dfs, False)
                 for a in shard_actors]
@@ -240,6 +248,7 @@ class SearcherPool:
         self.shards = fresh.shards
         self.num_shards = fresh.num_shards
         self.size = fresh.size
+        self._df_cache = {}  # new commit → new global stats
         fresh.actors = []  # ownership moved; don't let GC kill them
         import ray
 
