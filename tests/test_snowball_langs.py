@@ -342,3 +342,43 @@ class TestNewRouting:
             out = analyze_batch(pa.array(langtexts), name)
             exact = [t.text for t in get_analyzer(name).analyze(langtexts[0])]
             assert out.tokens.to_pylist()[0] == exact
+
+
+class TestStemmerRobustness:
+    """Fuzz: every registered stemmer is total (no exceptions),
+    deterministic, and never grows a word by more than one replacement
+    character — over random unicode-ish words including each language's
+    own diacritics."""
+
+    ALPHABETS = {
+        "finnish": "abcdefghijklmnopqrstuvwxyzäöy",
+        "hungarian": "abcdefghijklmnopqrstuvwxyzáéíóöőúüű",
+        "turkish": "abcçdefgğhıijklmnoöprsştuüvyz",
+        "greek": "αβγδεζηθικλμνξοπρστυφχψως",
+        "arabic": "ابتثجحخدذرزسشصضطظعغفقكلمنهويىةءأإآ",
+        "tamil": "அஆஇஈஉஊஎஏஐஒஓகஙசஞடணதநபமயரலவழளறனிீுூெேைொ்",
+        "german": "abcdefghijklmnopqrstuvwxyzäöüß",
+        "russian": "абвгдежзийклмнопрстуфхцчшщъыьэюя",
+    }
+
+    def test_fuzz_all_languages(self):
+        import random
+
+        from tantivy_ray.analyzer.snowball_langs import LANGUAGE_STEMMERS
+
+        rnd = random.Random(99)
+        langs = sorted({k for k in LANGUAGE_STEMMERS if len(k) > 2})
+        for lang in langs:
+            fn = LANGUAGE_STEMMERS[lang]
+            alpha = self.ALPHABETS.get(lang, "abcdefghijklmnopqrstuvwxyz")
+            for _ in range(400):
+                w = "".join(rnd.choice(alpha)
+                            for _ in range(rnd.randint(1, 14)))
+                s1 = fn(w)
+                s2 = fn(w)
+                assert isinstance(s1, str) and s1 == s2, (lang, w)
+                # +1 for single-char replacements; ß→ss grows per ß
+                assert len(s1) <= len(w) + w.count("ß") + 1, (lang, w, s1)
+            # empty / single-char safety
+            assert isinstance(fn(""), str)
+            assert isinstance(fn(alpha[0]), str)
