@@ -187,7 +187,7 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
         weights = 1 << np.arange(lsh_bits, dtype=np.int64)
         # per-table code + table offset so buckets never collide across
         # tables; fan-out: one output row per (input row, table)
-        out_bucket, out_ids, out_vecs = [], [], []
+        out_bucket, out_ids = [], []
         for t in range(n_tables):
             codes = signs[:, t * lsh_bits:(t + 1) * lsh_bits] @ weights
             out_bucket.append(codes + (np.int64(t) << np.int64(
