@@ -52,6 +52,35 @@ class _SearcherHost:
         """Shard-local doc freqs (the sharded pool sums them globally)."""
         return self.searcher.doc_freqs(terms)
 
+    def search_parsed_chunk(self, chunk: List[Tuple[int, str, int]],
+                            analyzer: str = None) -> pa.Table:
+        """Raw query STRINGS through the full QueryParser grammar
+        (bool trees, phrases, fuzzy/regex automata, ranges, boosts)."""
+        from .queryparser import QueryParser
+
+        parser = getattr(self, "_parser", None)
+        if parser is None:
+            parser = self._parser = QueryParser(
+                analyzer or self.searcher.manifest.analyzer)
+        out = {"query_id": [], "rank": [], "score": [], "segment_ord": [],
+               "doc_id": []}
+        for qid, qtext, k in chunk:
+            hits = self.searcher.search_query(parser.parse(str(qtext)),
+                                              int(k))
+            for rank, (s, seg, doc) in enumerate(hits):
+                out["query_id"].append(int(qid))
+                out["rank"].append(rank)
+                out["score"].append(np.float32(s))
+                out["segment_ord"].append(seg)
+                out["doc_id"].append(doc)
+        return pa.table({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "score": pa.array(out["score"], type=pa.float32()),
+            "segment_ord": pa.array(out["segment_ord"], type=pa.int32()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        })
+
     def search_chunk(self, chunk: List[Tuple[int, List[str], str, int]],
                      doc_freqs=None, with_rank: bool = True) -> pa.Table:
         out = {"query_id": [], "rank": [], "score": [], "segment_ord": [],
@@ -175,6 +204,34 @@ class SearcherPool:
         chunks = [queries[i::n_chunks] for i in range(n_chunks)]
         refs = [
             self.actors[i % self.size].search_chunk.remote(c)
+            for i, c in enumerate(chunks) if c
+        ]
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:
+            return _empty_result()
+        pdf = pa.concat_tables(tables).to_pandas()
+        pdf = pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def search_parsed_batch(
+        self, queries: Sequence[Tuple[int, str, int]],
+        chunks_per_actor: int = 1,
+    ) -> pa.Table:
+        """(query_id, query_string, k) batch through the full parser
+        grammar — the warm-pool analog of ``parsed_search_pipeline``
+        (replicated mode only: the parser needs exact global stats,
+        which every full-index replica has locally)."""
+        import ray
+
+        if self.num_shards > 1:
+            raise ValueError("parsed batches need replicated mode "
+                             "(num_shards=1): every replica holds "
+                             "global stats")
+        queries = list(queries)
+        n_chunks = max(1, self.size * chunks_per_actor)
+        chunks = [queries[i::n_chunks] for i in range(n_chunks)]
+        refs = [
+            self.actors[i % self.size].search_parsed_chunk.remote(c)
             for i, c in enumerate(chunks) if c
         ]
         tables = [t for t in ray.get(refs) if t.num_rows]

@@ -252,6 +252,30 @@ def test_searcher_pool_parity(tmp_path, ray_session):
     assert again.to_pydict() == want.to_pydict()
 
 
+def test_searcher_pool_parsed_parity(tmp_path, ray_session):
+    """Parsed query strings through the warm pool == the Ray Data
+    parsed_search_pipeline (full grammar: bools, phrases, fuzzy)."""
+    from tantivy_ray.pipelines.search_pipeline import parsed_search_pipeline
+    from tantivy_ray.search import SearcherPool
+
+    idx = build_test_index(tmp_path, CORPUS, record_positions=True)
+    queries = [
+        (0, "fox AND dog", 5),
+        (1, '"quick brown"', 5),
+        (2, "quick brown fox", 10),
+        (3, "fax~1", 5),
+        (4, "fox -dog", 10),
+    ]
+    want = parsed_search_pipeline(idx, queries, concurrency=1)
+    pool = SearcherPool(idx, size=2)
+    pool.warm()
+    try:
+        got = pool.search_parsed_batch(queries)
+    finally:
+        pool.close()
+    assert got.to_pydict() == want.to_pydict()
+
+
 def test_searcher_pool_reload_sees_new_commit(tmp_path, ray_session):
     """pool.reload() = IndexReader reload: new batches see documents
     committed after the pool was created."""
