@@ -276,6 +276,39 @@ def test_searcher_pool_parsed_parity(tmp_path, ray_session):
     assert got.to_pydict() == want.to_pydict()
 
 
+def test_searcher_pool_recovers_via_reload_after_actor_death(
+        tmp_path, ray_session):
+    """A killed replica fails the in-flight batch loudly (no silent
+    partial results); reload() restores a fully warmed pool."""
+    import ray
+
+    from tantivy_ray.search import SearcherPool
+
+    idx = build_test_index(tmp_path, CORPUS)
+    pool = SearcherPool(idx, size=2)
+    pool.warm()
+    try:
+        q = [(0, ["fox"], "or", 5)]
+        ok = pool.search_batch(q)
+        ray.kill(pool.actors[0], no_restart=True)
+        # ray.kill is async: wait until the actor is actually gone
+        import time as _time
+
+        deadline = _time.time() + 15
+        while _time.time() < deadline:
+            try:
+                ray.get(pool.actors[0].ready.remote(), timeout=2)
+                _time.sleep(0.05)
+            except Exception:
+                break
+        with pytest.raises(ray.exceptions.RayActorError):
+            pool.search_batch(q + [(1, ["dog"], "or", 5)])
+        pool.reload()
+        assert pool.search_batch(q).to_pydict() == ok.to_pydict()
+    finally:
+        pool.close()
+
+
 def test_searcher_pool_reload_sees_new_commit(tmp_path, ray_session):
     """pool.reload() = IndexReader reload: new batches see documents
     committed after the pool was created."""
