@@ -105,7 +105,7 @@ class BuildSegmentTask:
                  analyzer: str, record_positions: bool, columns: List[str],
                  fast_fields: Optional[List[str]] = None,
                  extra_text_fields: Optional[Dict[str, str]] = None,
-                 sort_by=None):
+                 sort_by=None, transform=None):
         self.index_dir = index_dir
         self.text_col = text_col
         self.id_col = id_col
@@ -115,6 +115,7 @@ class BuildSegmentTask:
         self.fast_fields = fast_fields or []
         self.extra_text_fields = extra_text_fields or {}
         self.sort_by = sort_by
+        self.transform = transform
 
     def build_one(self, part: Dict) -> Dict:
         part = _to_py(part)
@@ -137,6 +138,11 @@ class BuildSegmentTask:
             tables.append(t)
         table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         table = table.combine_chunks()
+        if self.transform is not None:
+            # derivation stage (e.g. JSON flatten, numeric term encode)
+            # runs INSIDE the build task on its own partition — the
+            # derived columns never exist as a whole dataset anywhere
+            table = self.transform(table).combine_chunks()
         lineage = {
             "row_groups": rgs,
             "num_rows": part["num_rows"],
@@ -189,6 +195,8 @@ def build_index(
     fast_fields: Optional[List[str]] = None,
     extra_text_fields: Optional[Dict[str, str]] = None,
     sort_by=None,
+    transform=None,
+    source_columns: Optional[List[str]] = None,
 ) -> IndexManifest:
     """Build (or resume) an index over parquet inputs with Ray Data.
 
@@ -207,14 +215,19 @@ def build_index(
     todo = [p for p in parts if p["segment_ord"] not in done]
 
     if todo:
+        # with a transform, the parquet read set is the transform's INPUT
+        # columns (source_columns) — text_col/extra fields may be derived
+        columns = (sorted(source_columns) if source_columns is not None
+                   else sorted({id_col, text_col, *(fast_fields or []),
+                                *(extra_text_fields or {}),
+                                *((sort_by[0],) if sort_by else ())}))
         task = BuildSegmentTask(
             index_dir, text_col, id_col, analyzer, record_positions,
-            columns=sorted({id_col, text_col, *(fast_fields or []),
-                            *(extra_text_fields or {}),
-                            *((sort_by[0],) if sort_by else ())}),
+            columns=columns,
             fast_fields=fast_fields,
             extra_text_fields=extra_text_fields,
             sort_by=sort_by,
+            transform=transform,
         )
         ds = rd.from_items(
             [

@@ -80,26 +80,20 @@ class FlattenJsonStage:
 def build_json_index(sf_dir: str, out_dir: str, table: str = "events",
                      json_col: str = "props", id_col: str = "event_id",
                      docs_per_segment: int = 50_000):
-    """events.props → flattened-term index (whitespace analyzer)."""
+    """events.props → flattened-term index (whitespace analyzer).
+
+    Fully distributed: the flatten runs as the build task's per-partition
+    ``transform`` — only the two source columns leave the parquet and no
+    whole-dataset materialization happens on the driver."""
     import os
 
-    import ray.data as rd
+    from ..index.build import build_index
 
-    from ..index.manifest import IndexManifest, write_manifest
-    from ..index.segment import build_segment_from_table
-    from ..utils import remote_args
-
-    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                         columns=[id_col, json_col])
-    flat = ds.map_batches(FlattenJsonStage(json_col), batch_format="pyarrow",
-                          **remote_args())
-    tbl = pa.Table.from_pandas(flat.to_pandas(), preserve_index=False)
-    tbl = tbl.sort_by(id_col)
-    meta = build_segment_from_table(
-        tbl, 0, out_dir, text_col="json_terms", id_col=id_col,
-        analyzer="whitespace",
+    build_index(
+        os.path.join(sf_dir, f"{table}.parquet"), out_dir,
+        text_col="json_terms", id_col=id_col, analyzer="whitespace",
+        docs_per_segment=docs_per_segment,
+        transform=FlattenJsonStage(json_col),
+        source_columns=[id_col, json_col],
     )
-    write_manifest(out_dir, IndexManifest(
-        analyzer="whitespace", text_col="json_terms", id_col=id_col,
-        segments=[meta]))
     return out_dir

@@ -541,37 +541,46 @@ SQL_FIELD_SCOPED_COUNTS = (
 )
 
 
+class _NumericIndexPrep:
+    """Per-partition build transform: encode the numeric column as
+    order-preserving terms + add an empty primary text column."""
+
+    def __init__(self, col: str, kind: str = "f64"):
+        self.col = col
+        self.kind = kind
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        from ..index.numeric import EncodeNumericStage
+
+        t = EncodeNumericStage(self.col, kind=self.kind)(table)
+        return t.append_column(
+            "dummy_text", pa.array([""] * len(t), type=pa.string()))
+
+
 def q_numeric_range_count(sf_dir: str) -> pa.Table:
     """Inverted-index RangeQuery over order-preserving numeric terms
     (the reference's term-range variant; fast-field ranges are the other
     path): counts of events.value in fixed ranges."""
     import hashlib as _hashlib
 
-    import ray.data as rd
-
     from ..index.build import build_index
-    from ..index.numeric import EncodeNumericStage
     from ..search import IndexSearcher
     from ..search.query import NumericRangeQuery, count_query
 
     tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     idx = os.path.join("/tmp/tantivy_ray_cache", f"num_ix_{tag}")
     if not os.path.exists(os.path.join(idx, "manifest.json")):
-        src = os.path.join(sf_dir, "events.parquet")
-        ds = rd.read_parquet(src, columns=["event_id", "value"])
-        enc = ds.map_batches(EncodeNumericStage("value", kind="f64"),
-                             batch_format="pyarrow", **remote_args())
-        import pyarrow.parquet as _pq
-
-        tbl = pa.Table.from_pandas(enc.to_pandas(), preserve_index=False)
-        tbl = tbl.sort_by("event_id").append_column(
-            "dummy_text", pa.array([""] * len(tbl)))
-        os.makedirs(idx, exist_ok=True)
-        enc_path = os.path.join(idx, "events_enc.parquet")
-        _pq.write_table(tbl, enc_path)
-        build_index(enc_path, idx, text_col="dummy_text", id_col="event_id",
-                    docs_per_segment=50_000,
-                    extra_text_fields={"value_enc": "raw"})
+        # distributed: the numeric term-encode runs as the build task's
+        # per-partition transform straight off events.parquet — no
+        # driver-side materialization or re-write of the dataset
+        build_index(
+            os.path.join(sf_dir, "events.parquet"), idx,
+            text_col="dummy_text", id_col="event_id",
+            docs_per_segment=50_000,
+            extra_text_fields={"value_enc": "raw"},
+            transform=_NumericIndexPrep("value", kind="f64"),
+            source_columns=["event_id", "value"],
+        )
     s = IndexSearcher(idx)
     ranges = [(0.0, 5.0), (5.0, 20.0), (20.0, 100.0)]
     rows = []
