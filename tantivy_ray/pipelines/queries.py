@@ -269,6 +269,37 @@ def q_topk_bm25_wand(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
+# AND-heavy reference set for the intersection pruner (block-WAND over
+# Must conjunctions, reference block_wand_intersection.rs)
+AND_QUERIES = [
+    (0, ["table", "scan"], "and", 10),
+    (1, ["group", "order", "key"], "and", 10),
+    (2, ["data", "fast", "merge"], "and", 15),
+    (3, ["window", "batch"], "and", 12),
+    (4, ["the", "a"], "and", 20),            # head terms: dense intersection
+    (5, ["value", "nosuchterm"], "and", 5),  # absent term → empty
+]
+
+
+def q_topk_bm25_and_wand(sf_dir: str) -> pa.Table:
+    """AND-conjunction top-k through block-max WAND intersection
+    (search/wand.py block_max_wand_intersection_topk) — hash-matched
+    against the same SQL scorer as the exhaustive path."""
+    from .search_pipeline import search_pipeline
+    from ..search import IndexSearcher
+
+    idx = build_docs_index(sf_dir)
+    tbl = search_pipeline(idx, AND_QUERIES, num_shards=1, concurrency=2,
+                          use_wand=True)
+    s = IndexSearcher(idx)
+    pdf = tbl.to_pandas()
+    pdf["doc_id"] = [int(v) for v in s.resolve_doc_keys(
+        list(zip(pdf.segment_ord, pdf.doc_id)))]
+    pdf = pdf[["query_id", "rank", "doc_id"]].sort_values(["query_id", "rank"])
+    pdf = pdf.astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
 def q_topk_bm25_sharded(sf_dir: str) -> pa.Table:
     """Same result through the sharded scatter-gather topology (3 shards,
     global stats broadcast) — distribution-invariance at the gate."""
@@ -646,6 +677,7 @@ QUERIES: Dict = {
     "topk_bm25_wand": q_topk_bm25_wand,
     "topk_bm25_merged": q_topk_bm25_merged,
     "topk_bm25_sharded": q_topk_bm25_sharded,
+    "topk_bm25_and_wand": q_topk_bm25_and_wand,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
     "quality": q_quality,
@@ -668,6 +700,7 @@ ORACLE_SQL: Dict[str, str] = {
     "topk_bm25_wand": _sql_topk_bm25(),
     "topk_bm25_merged": _sql_topk_bm25(),
     "topk_bm25_sharded": _sql_topk_bm25(),
+    "topk_bm25_and_wand": _sql_topk_bm25(AND_QUERIES),
     "dedup_exact": SQL_DEDUP_EXACT,
     "fingerprint": SQL_FINGERPRINT,
     "quality": SQL_QUALITY,

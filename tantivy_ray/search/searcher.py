@@ -34,7 +34,7 @@ from ..analyzer import get_analyzer
 from ..bm25 import Bm25Weight
 from ..index.manifest import IndexManifest, load_manifest
 from ..index.segment import SegmentReader, segment_dir_name
-from .wand import block_max_wand_topk
+from .wand import block_max_wand_intersection_topk, block_max_wand_topk
 
 TopHit = Tuple[float, int, int]  # (score_f32, segment_ord, doc_id)
 
@@ -158,6 +158,14 @@ class SegmentSearcher:
                 return []
             docs, scores = block_max_wand_topk(
                 readers, ws, self.reader.fieldnorm_ids, k,
+                alive_mask=self.reader.alive_mask,
+            )
+        elif use_wand and mode == "and":
+            readers = [self.reader.postings_reader(t) for t in terms]
+            if any(r is None for r in readers):
+                return []  # a missing term empties the intersection
+            docs, scores = block_max_wand_intersection_topk(
+                readers, list(weights), self.reader.fieldnorm_ids, k,
                 alive_mask=self.reader.alive_mask,
             )
         else:

@@ -102,6 +102,137 @@ def _single_term_topk(reader: TermPostingsReader, weight: Bm25Weight,
     return top.result()
 
 
+def block_max_wand_intersection_topk(
+    readers: Sequence[TermPostingsReader],
+    weights: Sequence[Bm25Weight],
+    fieldnorm_ids: np.ndarray,
+    k: int,
+    alive_mask=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """AND-intersection top-k with block-max pruning → (docs, scores)
+    ordered (score desc, doc asc).
+
+    Re-expression of the reference's intersection pruner
+    (/root/reference/src/query/boolean_query/block_wand_intersection.rs:19):
+    the rarest term leads and defines processing windows; a window whose
+    summed block maxes cannot beat the running threshold is skipped without
+    decoding; within surviving windows the leader's docs are batch-scored,
+    pre-filtered by (leader score + secondary block maxes), and only the
+    survivors pay the secondary membership probes.
+
+    f32-exact vs the exhaustive AND scorer: all bound sums AND the final
+    per-doc score sums run as sequential in-place f32 adds in QUERY-TERM
+    order (the exhaustive `_sparse_accumulate` op order) — f32 addition is
+    monotone, so a same-order sum of block maxes is a true upper bound of
+    every same-order doc score under it, making the pruning exact."""
+    if any(r is None or r.doc_freq == 0 for r in readers):
+        return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float32)
+    if len(readers) == 1:
+        return _single_term_topk(readers[0], weights[0], fieldnorm_ids, k,
+                                 alive_mask)
+    nt = len(readers)
+    bounds = [_block_bounds(r, w) for r, w in zip(readers, weights)]
+    n_blocks = [r.n_blocks for r in readers]
+    last_docs = [np.asarray(r.last_doc, dtype=np.int64) for r in readers]
+    leader = int(np.argmin([r.doc_freq for r in readers]))
+    # membership probes ordered rarest-first so the candidate set shrinks
+    # fastest (reference sorts scorers by size_hint)
+    secondaries = sorted((t for t in range(nt) if t != leader),
+                         key=lambda t: readers[t].doc_freq)
+    top = _TopK(k)
+    block_cache: dict = {}
+
+    def decode(t: int, b: int):
+        key = (t, b)
+        got = block_cache.get(key)
+        if got is None:
+            got = block_cache[key] = readers[t].decode_block(b)
+            block_cache.pop((t, b - 1), None)  # keep one block per term
+        return got
+
+    doc = 0
+    while True:
+        lb = int(np.searchsorted(last_docs[leader], doc))
+        if lb >= n_blocks[leader]:
+            break
+        cur = {leader: lb}
+        window_end = int(last_docs[leader][lb])
+        exhausted = False
+        for t in secondaries:
+            b = int(np.searchsorted(last_docs[t], doc))
+            if b >= n_blocks[t]:
+                exhausted = True
+                break
+            cur[t] = b
+            window_end = min(window_end, int(last_docs[t][b]))
+        if exhausted:
+            break
+
+        theta = top.threshold()
+        # window upper bound: block maxes summed in query-term order
+        ub = np.float32(0.0)
+        for t in range(nt):
+            ub = np.float32(ub + np.float32(bounds[t][cur[t]]))
+        if theta != float("-inf") and float(ub) <= theta:
+            doc = window_end + 1
+            continue
+
+        ldocs, ltfs = decode(leader, lb)
+        sel = (ldocs >= doc) & (ldocs <= window_end)
+        cdocs = ldocs[sel].astype(np.int64)
+        if len(cdocs) == 0:
+            doc = window_end + 1
+            continue
+        lsc = weights[leader].score(fieldnorm_ids[cdocs], ltfs[sel])
+
+        # per-candidate bound: leader's ACTUAL score + secondary block
+        # maxes, accumulated in query-term order (monotone ⇒ exact prune)
+        if theta != float("-inf"):
+            f = np.zeros(len(cdocs), dtype=np.float32)
+            for t in range(nt):
+                f += lsc if t == leader else np.float32(bounds[t][cur[t]])
+            keep = f > theta
+            if not keep.any():
+                doc = window_end + 1
+                continue
+            cdocs = cdocs[keep]
+
+        # intersection membership probes, rarest secondary first
+        tfs_by_term = {}
+        for t in secondaries:
+            sdocs, stfs = decode(t, cur[t])
+            pos = np.searchsorted(sdocs, cdocs)
+            pos_c = np.minimum(pos, len(sdocs) - 1)
+            ok = sdocs[pos_c].astype(np.int64) == cdocs
+            if not ok.all():
+                cdocs = cdocs[ok]
+                for t2 in tfs_by_term:
+                    tfs_by_term[t2] = tfs_by_term[t2][ok]
+                if len(cdocs) == 0:
+                    break
+                pos = pos[ok]
+            tfs_by_term[t] = stfs[pos]
+        if len(cdocs) == 0:
+            doc = window_end + 1
+            continue
+
+        # exact scores: same op shape as _sparse_accumulate (zeros + one
+        # in-place f32 add per term in query order)
+        fids = fieldnorm_ids[cdocs]
+        acc = np.zeros(len(cdocs), dtype=np.float32)
+        lpos = np.searchsorted(ldocs[sel].astype(np.int64), cdocs)
+        for t in range(nt):
+            tfs = ltfs[sel][lpos] if t == leader else tfs_by_term[t]
+            acc += weights[t].score(fids, tfs)
+        if alive_mask is not None:
+            keepa = alive_mask[cdocs]
+            cdocs, acc = cdocs[keepa], acc[keepa]
+        top.offer_many(cdocs, acc)
+        doc = window_end + 1
+
+    return top.result()
+
+
 def block_max_wand_topk(
     readers: Sequence[TermPostingsReader],
     weights: Sequence[Bm25Weight],

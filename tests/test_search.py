@@ -187,3 +187,54 @@ class TestWandProperty:
             assert [(g[1], g[2]) for g in exh] == [(e[1], e[2]) for e in exp]
             for g, e in zip(exh, exp):
                 assert g[0] == e[0], (seed, terms, g, e)
+
+
+class TestIntersectionWandProperty:
+    """Block-WAND intersection vs the exhaustive AND scorer on random
+    corpora — the reference's proptest strategy for the Must-conjunction
+    pruner (src/query/boolean_query/block_wand_intersection.rs:335-422):
+    identical (doc, score) results at every k."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_corpus(self, tmp_path, seed):
+        rs = np.random.RandomState(1000 + seed)
+        # small vocab → dense co-occurrence so intersections are non-empty;
+        # head-term lists span several 128-doc blocks (block-seek paths)
+        vocab = [f"w{i}" for i in range(12)]
+        zipf_p = 1.0 / np.arange(1, 13)
+        zipf_p /= zipf_p.sum()
+        n_segments = rs.randint(1, 4)
+        corpus = []
+        for _ in range(n_segments):
+            seg = []
+            for _ in range(rs.randint(5, 600)):
+                ln = rs.randint(1, 40)
+                seg.append(" ".join(rs.choice(vocab, size=ln, p=zipf_p)))
+            corpus.append(seg)
+        idx = build_test_index(tmp_path, corpus)
+        s = IndexSearcher(idx)
+        for qn in range(10):
+            nt = rs.randint(2, 5)
+            terms = list(rs.choice(vocab, size=nt, replace=False))
+            k = int(rs.randint(1, 15))
+            exh = s.search(terms, "and", k)
+            wand = s.search(terms, "and", k, use_wand=True)
+            assert wand == exh, (seed, qn, terms, k)
+            exp = oracle_topk(corpus, terms, "and", k)
+            assert [(g[1], g[2]) for g in wand] == [(e[1], e[2]) for e in exp]
+            for g, e in zip(wand, exp):
+                assert g[0] == e[0], (seed, terms, g, e)
+
+    def test_adversarial_tf_skew(self, tmp_path):
+        """One doc with a huge tf at the very end of a long list — the
+        threshold must not prune the late block (bound correctness)."""
+        rs = np.random.RandomState(7)
+        seg = ["alpha beta " + " ".join(rs.choice(["alpha", "beta", "pad"],
+                                                  size=20).tolist())
+               for _ in range(500)]
+        seg.append("alpha " * 50 + "beta " * 50)  # late high-scorer
+        idx = build_test_index(tmp_path, [seg])
+        s = IndexSearcher(idx)
+        for k in (1, 3, 10, 50):
+            assert (s.search(["alpha", "beta"], "and", k, use_wand=True)
+                    == s.search(["alpha", "beta"], "and", k))
