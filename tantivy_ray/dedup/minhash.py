@@ -155,10 +155,44 @@ def _empty_pairs() -> pa.Table:
 
 _JOIN_SCHEMA = pa.schema([
     ("jkey", pa.int64()),
-    ("pair", pa.string()),
+    ("pair_a", pa.int64()),
+    ("pair_b", pa.int64()),
     ("side", pa.int32()),
-    ("shingles", pa.list_(pa.string())),
+    ("hashes", pa.list_(pa.uint64())),
 ])
+
+
+def _unique_hash_lists(tokens, shingle_w: int) -> pa.ListArray:
+    """Per-doc UNIQUE shingle-hash lists, fully vectorized: one arrow
+    shingle join + hash over the whole batch, then a (doc, hash) lexsort
+    + run-length dedup — no per-document python."""
+    hashes_all, sh_s, sh_e = _shingle_hash_ranges(tokens, shingle_w)
+    lens = sh_e - sh_s
+    n = len(lens)
+    if lens.sum() == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int64), type=pa.int32()),
+            pa.array(np.empty(0, dtype=np.uint64), type=pa.uint64()))
+    # compact the kept ranges (drop cross-doc shingles)
+    delta = np.zeros(len(hashes_all) + 1, dtype=np.int64)
+    np.add.at(delta, sh_s, 1)
+    np.add.at(delta, sh_e, -1)
+    mask = np.cumsum(delta[:-1]) > 0
+    kept = hashes_all[mask]
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.lexsort((kept, doc_rep))
+    d2, h2 = doc_rep[order], kept[order]
+    new = np.empty(len(d2), dtype=bool)
+    new[0] = True
+    new[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
+    flat = h2[new]
+    counts = np.zeros(n, dtype=np.int64)
+    np.add.at(counts, d2[new], 1)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(flat, type=pa.uint64()))
 
 
 def _make_shingle_stage(needed_ref, text_col: str, id_col: str,
@@ -181,13 +215,14 @@ def _make_shingle_stage(needed_ref, text_col: str, id_col: str,
             batch = batch.take(pa.array(keep, type=pa.int64()))
             ids = ids[keep]
         out = analyze_batch(batch.column(text_col), analyzer)
-        sh = [sorted(set(MinHasher.shingles(t, shingle_w)))
-              for t in out.tokens.to_pylist()]
+        hl = _unique_hash_lists(out.tokens, shingle_w)
+        n = len(ids)
         return pa.table({
             "jkey": pa.array(ids, type=pa.int64()),
-            "pair": pa.array([""] * len(ids), type=pa.string()),
-            "side": pa.array([2] * len(ids), type=pa.int32()),
-            "shingles": pa.array(sh, type=pa.list_(pa.string())),
+            "pair_a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "pair_b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "side": pa.array(np.full(n, 2, dtype=np.int32)),
+            "hashes": hl,
         }).cast(_JOIN_SCHEMA)
 
     return stage
@@ -227,54 +262,118 @@ def _bucket_pairs_block(tbl: pa.Table, id_col: str) -> pa.Table:
     })
 
 
+_ATTACH_SCHEMA = pa.schema([("pair_a", pa.int64()), ("pair_b", pa.int64()),
+                            ("side", pa.int32()),
+                            ("hashes", pa.list_(pa.uint64()))])
+
+
 def _attach_shingles_block(tbl: pa.Table) -> pa.Table:
-    """Join step (jkey-sorted block): each doc's shingle row is fanned
-    to its pair-endpoint rows; duplicate (pair, side) endpoints (the
-    same pair firing in several bands) collapse here."""
+    """Join step (jkey-sorted block): each doc's hash row is fanned to
+    its pair-endpoint rows; duplicate (pair, side) endpoints (the same
+    pair firing in several bands) collapse here.  Fully vectorized:
+    run-length groups over the sorted jkey column + one lexsort dedup of
+    the endpoint rows + one gather to replicate the hash slices."""
     n = tbl.num_rows
-    out_schema = pa.schema([("pair", pa.string()), ("side", pa.int32()),
-                            ("shingles", pa.list_(pa.string()))])
     if n == 0:
         return pa.Table.from_pydict(
-            {f.name: [] for f in out_schema}, schema=out_schema)
-    df = tbl.to_pandas()
-    rows_pair, rows_side, rows_sh = [], [], []
-    for _, g in df.groupby("jkey", sort=False):
-        sh_rows = g[g["side"] == 2]
-        sh = list(sh_rows["shingles"].iloc[0]) if len(sh_rows) else []
-        ends = g[g["side"] != 2].drop_duplicates(subset=["pair", "side"])
-        rows_pair.extend(ends["pair"])
-        rows_side.extend(int(s) for s in ends["side"])
-        rows_sh.extend([sh] * len(ends))
+            {f.name: [] for f in _ATTACH_SCHEMA}, schema=_ATTACH_SCHEMA)
+    tbl = tbl.combine_chunks()
+    jk = tbl.column("jkey").to_numpy()
+    side = tbl.column("side").to_numpy()
+    p_a = tbl.column("pair_a").to_numpy()
+    p_b = tbl.column("pair_b").to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = jk[1:] != jk[:-1]
+    gid = np.cumsum(change.astype(np.int64)) - 1
+    n_groups = int(gid[-1]) + 1
+    hl = tbl.column("hashes").combine_chunks()
+    offs = hl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = hl.values.to_numpy(zero_copy_only=False)
+    # per group: the (single) side-2 row's hash slice, empty if none
+    g_start = np.zeros(n_groups, dtype=np.int64)
+    g_len = np.zeros(n_groups, dtype=np.int64)
+    sh_rows = np.flatnonzero(side == 2)
+    g_start[gid[sh_rows]] = offs[sh_rows]
+    g_len[gid[sh_rows]] = offs[sh_rows + 1] - offs[sh_rows]
+    # dedup endpoints by (group, pair, side) — all-numeric lexsort
+    ends = np.flatnonzero(side != 2)
+    if len(ends) == 0:
+        return pa.Table.from_pydict(
+            {f.name: [] for f in _ATTACH_SCHEMA}, schema=_ATTACH_SCHEMA)
+    eg, ea, eb, es = gid[ends], p_a[ends], p_b[ends], side[ends]
+    order = np.lexsort((es, eb, ea, eg))
+    eg, ea, eb, es = eg[order], ea[order], eb[order], es[order]
+    new = np.empty(len(eg), dtype=bool)
+    new[0] = True
+    new[1:] = ((eg[1:] != eg[:-1]) | (ea[1:] != ea[:-1])
+               | (eb[1:] != eb[:-1]) | (es[1:] != es[:-1]))
+    eg, ea, eb, es = eg[new], ea[new], eb[new], es[new]
+    # replicate each endpoint's group hash slice: standard arange gather
+    out_lens = g_len[eg]
+    total = int(out_lens.sum())
+    out_offsets = np.zeros(len(eg) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_offsets[1:])
+    if total:
+        idx = (np.repeat(g_start[eg], out_lens)
+               + np.arange(total, dtype=np.int64)
+               - np.repeat(out_offsets[:-1], out_lens))
+        out_flat = flat[idx]
+    else:
+        out_flat = np.empty(0, dtype=np.uint64)
     return pa.table({
-        "pair": pa.array(rows_pair, type=pa.string()),
-        "side": pa.array(rows_side, type=pa.int32()),
-        "shingles": pa.array(rows_sh, type=pa.list_(pa.string())),
-    })
+        "pair_a": pa.array(ea, type=pa.int64()),
+        "pair_b": pa.array(eb, type=pa.int64()),
+        "side": pa.array(es, type=pa.int32()),
+        "hashes": pa.ListArray.from_arrays(
+            pa.array(out_offsets, type=pa.int32()),
+            pa.array(out_flat, type=pa.uint64())),
+    }).cast(_ATTACH_SCHEMA)
 
 
 def _make_pair_jaccard_block(threshold: float):
+    """(pair_a, pair_b)-sorted block → verified pairs.  Same np.unique
+    run-length jaccard as the fused path (size-2 (pair, hash) runs are
+    intersection members; hashes are unique within each side)."""
+
     def block_fn(tbl: pa.Table) -> pa.Table:
-        out = {"id_a": [], "id_b": [], "jaccard": []}
-        if tbl.num_rows:
-            df = tbl.to_pandas()
-            for pk, g in df.groupby("pair", sort=False):
-                a = b = None
-                for _, r in g.iterrows():
-                    if r["side"] == 0:
-                        a = set(r["shingles"])
-                    else:
-                        b = set(r["shingles"])
-                j = _jaccard(a or set(), b or set())
-                if j >= threshold:
-                    ia, ib = pk.split(":")
-                    out["id_a"].append(int(ia))
-                    out["id_b"].append(int(ib))
-                    out["jaccard"].append(round(j, 6))
+        if tbl.num_rows == 0:
+            return _empty_pairs()
+        tbl = tbl.combine_chunks()
+        p_a = tbl.column("pair_a").to_numpy()
+        p_b = tbl.column("pair_b").to_numpy()
+        n = len(p_a)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (p_a[1:] != p_a[:-1]) | (p_b[1:] != p_b[:-1])
+        gid = np.cumsum(change.astype(np.int64)) - 1
+        g_first = np.flatnonzero(change)
+        n_groups = len(g_first)
+        hl = tbl.column("hashes").combine_chunks()
+        offs = hl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = hl.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        gid_rep = np.repeat(gid, lens)
+        order = np.lexsort((flat, gid_rep))
+        g2, h2 = gid_rep[order], flat[order]
+        union = np.zeros(n_groups, dtype=np.int64)
+        inter = np.zeros(n_groups, dtype=np.int64)
+        if len(g2):
+            new = np.empty(len(g2), dtype=bool)
+            new[0] = True
+            new[1:] = (g2[1:] != g2[:-1]) | (h2[1:] != h2[:-1])
+            gstarts = np.flatnonzero(new)
+            gsizes = np.diff(np.append(gstarts, len(g2)))
+            np.add.at(union, g2[gstarts], 1)
+            np.add.at(inter, g2[gstarts], (gsizes == 2).astype(np.int64))
+        ok = union > 0
+        jac = np.zeros(n_groups, dtype=np.float64)
+        jac[ok] = inter[ok] / union[ok]
+        hit = np.flatnonzero(jac >= threshold)
         return pa.table({
-            "id_a": pa.array(out["id_a"], type=pa.int64()),
-            "id_b": pa.array(out["id_b"], type=pa.int64()),
-            "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+            "id_a": pa.array(p_a[g_first[hit]], type=pa.int64()),
+            "id_b": pa.array(p_b[g_first[hit]], type=pa.int64()),
+            "jaccard": pa.array(np.round(jac[hit], 6), type=pa.float64()),
         })
 
     return block_fn
@@ -451,16 +550,18 @@ def minhash_lsh_pairs(
     # pair-endpoint rows for the reduce-side join (duplicate pairs from
     # multiple bands collapse inside the join stage)
     def endpoints(t: pa.Table) -> pa.Table:
-        ia = t.column("id_a").to_numpy()
-        ib = t.column("id_b").to_numpy()
-        pairs = [f"{a}:{b}" for a, b in zip(ia, ib)]
+        ia = t.column("id_a").to_numpy().astype(np.int64)
+        ib = t.column("id_b").to_numpy().astype(np.int64)
+        n2 = 2 * len(ia)
         return pa.table({
             "jkey": pa.array(np.concatenate([ia, ib]), type=pa.int64()),
-            "pair": pa.array(pairs + pairs, type=pa.string()),
-            "side": pa.array([0] * len(ia) + [1] * len(ib),
-                             type=pa.int32()),
-            "shingles": pa.array([[]] * (2 * len(ia)),
-                                 type=pa.list_(pa.string())),
+            "pair_a": pa.array(np.tile(ia, 2), type=pa.int64()),
+            "pair_b": pa.array(np.tile(ib, 2), type=pa.int64()),
+            "side": pa.array(np.repeat(np.array([0, 1], dtype=np.int32),
+                                       len(ia))),
+            "hashes": pa.ListArray.from_arrays(
+                pa.array(np.zeros(n2 + 1, dtype=np.int64), type=pa.int32()),
+                pa.array(np.empty(0, dtype=np.uint64), type=pa.uint64())),
         }).cast(_JOIN_SCHEMA)
 
     ends_ds = cand.map_batches(endpoints, batch_format="pyarrow",
@@ -484,7 +585,7 @@ def minhash_lsh_pairs(
         _attach_shingles_block, batch_size=None, batch_format="pyarrow",
         **remote_args(),
     )
-    verified = joined.sort("pair").map_batches(
+    verified = joined.sort(["pair_a", "pair_b"]).map_batches(
         _make_pair_jaccard_block(threshold), batch_size=None,
         batch_format="pyarrow", **remote_args(),
     )
