@@ -69,6 +69,13 @@ class RemoveLongFilter:
         return [t for t in tokens if self._keep(t.text)]
 
 
+_STOP_LANG_BY_CODE = {
+    "da": "danish", "nl": "dutch", "fi": "finnish", "fr": "french",
+    "de": "german", "hu": "hungarian", "it": "italian", "no": "norwegian",
+    "pt": "portuguese", "ru": "russian", "es": "spanish", "sv": "swedish",
+}
+
+
 class StopWordFilter:
     def __init__(self, words: Optional[Sequence[str]] = None, language: str = "english"):
         if isinstance(words, str):
@@ -78,20 +85,22 @@ class StopWordFilter:
             words, language = None, words
         if words is None:
             if language in ("english", "en"):
+                # Lucene EnglishAnalyzer list (reference stop_word_filter/
+                # mod.rs:42-48)
                 words = ENGLISH_STOP_WORDS
             else:
-                # small built-in lists for de/fr/es/ru (functions.text);
-                # the reference ships per-language lists behind a feature
-                # flag (src/tokenizer/stop_word_filter/)
-                from ..functions.text import LANG_STOPWORDS
+                # the reference's 12 other shipped lists (NLTK corpus data,
+                # stop_word_filter/stopwords.rs) — full membership parity
+                from .stopwords import STOPWORD_LISTS
 
-                code = {"german": "de", "french": "fr", "spanish": "es",
-                        "russian": "ru"}.get(language, language)
-                if code not in LANG_STOPWORDS:
+                name = _STOP_LANG_BY_CODE.get(language, language)
+                if name not in STOPWORD_LISTS:
+                    # reference StopWordFilter::new returns None for other
+                    # languages; we raise so the misroute is loud
                     raise ValueError(
                         f"no built-in stop list for {language!r}; pass words="
                     )
-                words = LANG_STOPWORDS[code]
+                words = STOPWORD_LISTS[name]
         self.words = frozenset(words)
 
     def apply(self, tokens: List[Token]) -> List[Token]:

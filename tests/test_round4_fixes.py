@@ -71,6 +71,71 @@ class TestDistributedJsonBuild:
                 for r in s2.readers] == metas
 
 
+class TestStopWordLists:
+    """All 13 reference-shipped stop lists (stop_word_filter/mod.rs:39-59:
+    Lucene English + 12 NLTK-corpus languages) construct and match golden
+    membership."""
+
+    # (language, reference list length, known members)
+    GOLDEN = [
+        ("danish", 94, ["og", "jeg", "ikke", "hvad"]),
+        ("dutch", 101, ["de", "van", "niet", "zij"]),
+        ("finnish", 229, ["olla", "minä", "että", "ei"]),
+        ("french", 154, ["au", "avec", "étée", "nous"]),
+        ("german", 231, ["aber", "nicht", "über", "wir"]),
+        ("hungarian", 198, ["ahogy", "nem", "még", "vagy"]),
+        ("italian", 279, ["ad", "non", "perché", "noi"]),
+        ("norwegian", 172, ["og", "ikke", "hva", "være"]),
+        ("portuguese", 203, ["de", "não", "você", "são"]),
+        ("russian", 159, ["и", "не", "что", "быть"]),
+        ("spanish", 308, ["de", "no", "tendré", "están"]),
+        ("swedish", 114, ["och", "inte", "vad", "vara"]),
+    ]
+
+    @pytest.mark.parametrize("lang,n,members", GOLDEN,
+                             ids=[g[0] for g in GOLDEN])
+    def test_membership(self, lang, n, members):
+        from tantivy_ray.analyzer import StopWordFilter
+
+        f = StopWordFilter(language=lang)
+        assert len(f.words) == n
+        for w in members:
+            assert w in f.words, (lang, w)
+
+    def test_code_aliases(self):
+        from tantivy_ray.analyzer import StopWordFilter
+
+        for code, lang in [("da", "danish"), ("nl", "dutch"),
+                           ("fi", "finnish"), ("sv", "swedish"),
+                           ("no", "norwegian"), ("pt", "portuguese"),
+                           ("it", "italian"), ("hu", "hungarian")]:
+            assert (StopWordFilter(language=code).words
+                    == StopWordFilter(language=lang).words)
+
+    def test_english_is_lucene_list(self):
+        from tantivy_ray.analyzer import StopWordFilter
+
+        f = StopWordFilter(language="english")
+        assert len(f.words) == 33
+        assert {"the", "is", "such", "will"} <= f.words
+
+    def test_reference_doc_example(self):
+        # stop_word_filter/mod.rs docstring: "the fox is crafty"
+        from tantivy_ray.analyzer import StopWordFilter
+        from tantivy_ray.analyzer.tokenizers import Token
+
+        f = StopWordFilter(words=["the", "is"])
+        toks = [Token(text=t, position=i, offset_from=0, offset_to=0)
+                for i, t in enumerate("the fox is crafty".split())]
+        assert [t.text for t in f.apply(toks)] == ["fox", "crafty"]
+
+    def test_unknown_language_raises(self):
+        from tantivy_ray.analyzer import StopWordFilter
+
+        with pytest.raises(ValueError):
+            StopWordFilter(language="klingon")
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestNoDriverMaterialization:
     def test_no_whole_dataset_to_pandas_in_pipelines(self):
