@@ -819,3 +819,102 @@ def aggregate_partials(ds, aggs: Dict[str, Dict],
         merged = p if merged is None else merge_partials(aggs, merged, p)
         check_limits(merged, max_buckets)
     return merged if merged is not None else {}
+
+# ---------------------------------------------------------------------------
+# Distributed exact order statistics (histogram bracketing)
+# ---------------------------------------------------------------------------
+
+def exact_order_statistics(ds, field: str, ranks_fn,
+                           n_bins: int = 4096,
+                           fetch_cap: int = 1_000_000,
+                           max_depth: int = 4):
+    """Exact order statistics of ``ds[field]`` without materializing the
+    column on the driver.
+
+    ``ranks_fn(n) -> iterable[int]`` maps the column's non-NaN count to
+    the 0-based global ranks wanted.  Three streaming passes: a stats
+    aggregate (count/min/max), a mergeable fixed-interval histogram that
+    brackets each rank to one bucket, then a filtered fetch of ONLY the
+    bracketed buckets (expected ``n / n_bins`` rows each).  Buckets
+    heavier than ``fetch_cap`` recurse with a fresh histogram inside the
+    bucket (pathological skew), up to ``max_depth`` levels; at the depth
+    limit the bucket is fetched regardless, preferring a large driver
+    pull over a wrong answer.  Returns ``(values, n)`` with ``values``
+    a dict rank -> float.
+
+    This is the scale path for gates/tests that need exact quantiles
+    (production percentiles use the mergeable sketch): the driver never
+    holds more than the fetched buckets.
+    """
+    s = run_aggregations(ds, {"s": {"stats": {"field": field}}})["s"]
+    n = int(s["count"])
+    out: Dict[int, float] = {}
+    if n == 0:
+        return out, 0
+    targets = [(int(r), int(r)) for r in sorted(set(ranks_fn(n)))]
+    for r, _ in targets:
+        if not 0 <= r < n:
+            raise ValueError(f"rank {r} out of range for n={n}")
+    _order_stats_resolve(ds, field, targets, out,
+                         float(s["min"]), float(s["max"]),
+                         n_bins, fetch_cap, max_depth)
+    return out, n
+
+
+def _order_stats_resolve(ds, field, targets, out, lo, hi,
+                         n_bins, fetch_cap, depth) -> None:
+    """Fill ``out[out_key] = value`` for ``targets`` = [(local_rank,
+    out_key)] over the (possibly bucket-filtered) dataset ``ds`` whose
+    ``field`` values all lie in [lo, hi]."""
+    from .utils import remote_args
+
+    if not targets:
+        return
+    if lo == hi or not math.isfinite(hi - lo):
+        for _, okey in targets:
+            out[okey] = lo
+        return
+    interval = (hi - lo) / n_bins
+    h = run_aggregations(ds, {"h": {"histogram": {
+        "field": field, "interval": interval, "offset": lo}}})["h"]["buckets"]
+    keys = np.array([b["key"] for b in h], dtype=np.float64)
+    counts = np.array([b["doc_count"] for b in h], dtype=np.int64)
+    below = np.concatenate(([0], np.cumsum(counts)))
+    by_bucket: Dict[int, List] = {}
+    for r, okey in targets:
+        i = int(np.searchsorted(below, r, side="right")) - 1
+        by_bucket.setdefault(i, []).append((r - int(below[i]), okey))
+
+    light = {i: t for i, t in by_bucket.items()
+             if counts[i] <= fetch_cap or depth <= 0}
+    heavy = {i: t for i, t in by_bucket.items() if i not in light}
+
+    if light:
+        tkeys = keys[sorted(light)]
+
+        def fetch(batch, _lo=lo, _iv=interval, _tk=tkeys):
+            v = np.asarray(batch[field], dtype=np.float64)
+            v = v[~np.isnan(v)]
+            k = np.floor((v - _lo) / _iv) * _iv + _lo
+            m = np.isin(k, _tk)
+            return {"v": v[m], "k": k[m]}
+
+        pdf = ds.map_batches(fetch, batch_format="numpy",
+                             **remote_args()).to_pandas()
+        for i, tlist in light.items():
+            vals = np.sort(pdf.loc[pdf["k"] == keys[i], "v"].to_numpy())
+            for lr, okey in tlist:
+                out[okey] = float(vals[lr])
+
+    for i, tlist in heavy.items():
+        bk = float(keys[i])
+
+        def keep(batch, _lo=lo, _iv=interval, _bk=bk):
+            v = np.asarray(batch[field], dtype=np.float64)
+            v = v[~np.isnan(v)]
+            k = np.floor((v - _lo) / _iv) * _iv + _lo
+            return {field: v[k == _bk]}
+
+        sub = ds.map_batches(keep, batch_format="numpy", **remote_args())
+        _order_stats_resolve(sub, field, tlist, out, bk, bk + interval,
+                             n_bins, fetch_cap, depth - 1)

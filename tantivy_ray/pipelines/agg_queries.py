@@ -252,23 +252,38 @@ def q_agg_percentiles_value(sf_dir: str) -> pa.Table:
     value is within the sketch's declared relative accuracy (alpha=0.01,
     plus the local inter-quantile gap that separates the sketch's
     nearest-rank answer from quantile_cont's interpolated one).  The
-    exact quantiles come from the pruned value column (gate-scale exact
-    twin — production uses only the mergeable sketch)."""
+    exact quantiles come from distributed histogram bracketing
+    (aggregations.exact_order_statistics) — only the handful of
+    bracketed order statistics reach the driver, never the column."""
+    from ..aggregations import exact_order_statistics
+
     ds = _read(sf_dir, "events", ["value"])
     percents = [25, 50, 95]
     res = run_aggregations(ds, {
         "p": {"percentiles": {"field": "value", "percents": percents}}
     })
     v = res["p"]["values"]
-    vals = np.sort(ds.to_pandas()["value"].to_numpy(dtype=np.float64))
+
+    def ranks_fn(n):
+        rs = set()
+        for p in percents:
+            h = p / 100.0 * (n - 1)
+            idx = int(h)
+            rs |= {int(np.floor(h)), int(np.ceil(h)),
+                   max(idx - 1, 0), min(idx + 1, n - 1)}
+        return rs
+
+    vals, n = exact_order_statistics(ds, "value", ranks_fn)
     rows = []
-    n = len(vals)
     for p in percents:
         est = float(v[str(p)])
-        exact = float(np.quantile(vals, p / 100.0))
+        h = p / 100.0 * (n - 1)
+        f, c = int(np.floor(h)), int(np.ceil(h))
+        # np.quantile linear interpolation between order stats f and c
+        exact = vals[f] + (h - f) * (vals[c] - vals[f])
         # nearest-rank vs interpolated: allow one order-statistic step
-        idx = int(p / 100.0 * (n - 1))
-        gap = float(vals[min(idx + 1, n - 1)] - vals[max(idx - 1, 0)])
+        idx = int(h)
+        gap = vals[min(idx + 1, n - 1)] - vals[max(idx - 1, 0)]
         ok = abs(est - exact) <= 0.0101 * abs(exact) + gap + 1e-12
         rows.append((p, ok))
     return pa.table({

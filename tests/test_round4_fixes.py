@@ -145,9 +145,37 @@ class TestNoDriverMaterialization:
         import pathlib
 
         root = pathlib.Path(__file__).resolve().parents[1]
-        for name in ("json_fields.py",):
+        for name in ("json_fields.py", "agg_queries.py"):
             src = (root / "tantivy_ray" / "pipelines" / name).read_text()
             assert ".to_pandas()" not in src, name
+
+    def test_exact_order_statistics(self, ray_session):
+        """Distributed histogram-bracket order statistics == numpy sort,
+        including pathological skew that forces the heavy-bucket
+        recursion and an all-equal column (VERDICT r3 item 7)."""
+        import numpy as np
+        import ray.data
+
+        from tantivy_ray.aggregations import exact_order_statistics
+
+        rng = np.random.default_rng(11)
+        vals = np.concatenate([rng.normal(0, 1, 4000),
+                               rng.lognormal(3, 2, 1000),
+                               np.full(800, 42.0)])
+        ds = ray.data.from_items(
+            [{"value": float(x)} for x in vals]).repartition(8)
+        ranks = [0, 1, 123, 2900, len(vals) - 1]
+        out, n = exact_order_statistics(
+            ds, "value", lambda n: ranks, n_bins=32, fetch_cap=100,
+            max_depth=3)
+        assert n == len(vals)
+        sv = np.sort(vals)
+        for r in ranks:
+            assert out[r] == float(sv[r])
+
+        same = ray.data.from_items([{"value": 7.5}] * 50)
+        out2, n2 = exact_order_statistics(same, "value", lambda n: [0, 49])
+        assert n2 == 50 and out2 == {0: 7.5, 49: 7.5}
 
     def test_numeric_index_distributed(self, tmp_path):
         """numeric_range_count's index build goes through build_index with
