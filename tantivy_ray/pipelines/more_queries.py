@@ -112,52 +112,111 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank < k
 """
 
 
+_SESS_COLS = ("user_id", "n_events", "n_sessions", "longest_session_events")
+
+
+def _sessions_kernel(uid: np.ndarray, ts: np.ndarray) -> pa.Table:
+    """Per-user session aggregates over (user, ts)-lexsorted arrays of
+    user ids and epoch seconds, fully vectorized (a per-user map_groups
+    would pay pandas slicing per user at corpus scale)."""
+    n = len(uid)
+    if n == 0:
+        return pa.table({k: pa.array([], type=pa.int64())
+                         for k in _SESS_COLS})
+    user_change = np.empty(n, dtype=bool)
+    user_change[0] = True
+    user_change[1:] = uid[1:] != uid[:-1]
+    sess_start = user_change.copy()
+    sess_start[1:] |= (ts[1:] - ts[:-1]) > SESSION_GAP_S
+    ustarts = np.flatnonzero(user_change)
+    uends = np.append(ustarts[1:], n)
+    n_events = uends - ustarts
+    n_sessions = np.add.reduceat(sess_start.astype(np.int64), ustarts)
+    sstarts = np.flatnonzero(sess_start)
+    slens = np.diff(np.append(sstarts, n))
+    # sessions are contiguous per user; reduce session lengths at
+    # each user's first session
+    su_starts = np.flatnonzero(user_change[sstarts])
+    longest = np.maximum.reduceat(slens, su_starts)
+    return pa.table({
+        "user_id": pa.array(uid[ustarts], type=pa.int64()),
+        "n_events": pa.array(n_events, type=pa.int64()),
+        "n_sessions": pa.array(n_sessions, type=pa.int64()),
+        "longest_session_events": pa.array(longest, type=pa.int64()),
+    })
+
+
 def q_sessionize_events(sf_dir: str) -> pa.Table:
+    """sort('user_id') co-locates each user's rows, then each block runs
+    the vectorized kernel over its INTERIOR users only.  Ray's range
+    partitioner samples boundaries and may split one user's rows across
+    two blocks, so the first and last user of every block are emitted as
+    raw (user_id, ts) rows instead and re-aggregated exactly through a
+    groupby().map_groups pass — at most 2 users per block, so the
+    per-group overhead is negligible while block-straddling users (and
+    whale users spanning many blocks) stay correct."""
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
 
-    def sessions_block(tbl: pa.Table) -> pa.Table:
-        """ALL users in one user-sorted block, fully vectorized (a
-        per-user map_groups would pay pandas slicing per user at
-        corpus scale).  sort('user_id') co-locates each user; the
-        (user, ts) order is restored with one in-block lexsort."""
+    def split_block(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
         if n == 0:
-            return pa.table({k: pa.array([], type=pa.int64()) for k in
-                             ("user_id", "n_events", "n_sessions",
-                              "longest_session_events")})
+            return pa.table({
+                "kind": pa.array([], type=pa.int8()),
+                "ts_s": pa.array([], type=pa.int64()),
+                **{k: pa.array([], type=pa.int64()) for k in _SESS_COLS}})
         uid = tbl.column("user_id").to_numpy().astype(np.int64)
         ts = (tbl.column("ts").cast(pa.timestamp("us")).to_numpy()
               .astype("datetime64[us]").astype(np.int64) // 1_000_000)
         order = np.lexsort((ts, uid))
         uid, ts = uid[order], ts[order]
-        user_change = np.empty(n, dtype=bool)
-        user_change[0] = True
-        user_change[1:] = uid[1:] != uid[:-1]
-        sess_start = user_change.copy()
-        sess_start[1:] |= (ts[1:] - ts[:-1]) > SESSION_GAP_S
-        ustarts = np.flatnonzero(user_change)
-        uends = np.append(ustarts[1:], n)
-        n_events = uends - ustarts
-        n_sessions = np.add.reduceat(sess_start.astype(np.int64), ustarts)
-        sstarts = np.flatnonzero(sess_start)
-        slens = np.diff(np.append(sstarts, n))
-        # sessions are contiguous per user; reduce session lengths at
-        # each user's first session
-        su_starts = np.flatnonzero(user_change[sstarts])
-        longest = np.maximum.reduceat(slens, su_starts)
+        edge = (uid == uid[0]) | (uid == uid[-1])
+        fin = _sessions_kernel(uid[~edge], ts[~edge])
+        nf, nb = fin.num_rows, int(edge.sum())
         return pa.table({
-            "user_id": pa.array(uid[ustarts], type=pa.int64()),
-            "n_events": pa.array(n_events, type=pa.int64()),
-            "n_sessions": pa.array(n_sessions, type=pa.int64()),
-            "longest_session_events": pa.array(longest, type=pa.int64()),
+            "kind": pa.array([0] * nf + [1] * nb, type=pa.int8()),
+            "ts_s": pa.array([0] * nf + list(ts[edge]), type=pa.int64()),
+            "user_id": pa.concat_arrays(
+                [fin.column("user_id").combine_chunks(),
+                 pa.array(uid[edge], type=pa.int64())]),
+            **{k: pa.array(fin.column(k).to_pylist() + [0] * nb,
+                           type=pa.int64())
+               for k in _SESS_COLS[1:]},
         })
 
-    out = (ds.sort("user_id")
-           .map_batches(sessions_block, batch_size=None,
-                        batch_format="pyarrow", **remote_args())
+    marked = (ds.sort("user_id")
+              .map_batches(split_block, batch_size=None,
+                           batch_format="pyarrow", **remote_args())
+              .materialize())
+
+    def take_finals(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return tbl.filter(pc.equal(tbl.column("kind"), 0)) \
+                  .select(list(_SESS_COLS))
+
+    finals = marked.map_batches(take_finals, batch_format="pyarrow",
+                                **remote_args())
+
+    def one_user(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy().astype(np.int64)
+        ts = tbl.column("ts_s").to_numpy().astype(np.int64)
+        order = np.lexsort((ts, uid))
+        return _sessions_kernel(uid[order], ts[order])
+
+    def take_boundary(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return tbl.filter(pc.equal(tbl.column("kind"), 1)) \
+                  .select(["user_id", "ts_s"])
+
+    boundary = (marked.map_batches(take_boundary, batch_format="pyarrow",
+                                   **remote_args())
+                .groupby("user_id")
+                .map_groups(one_user, batch_format="pyarrow",
+                            **remote_args()))
+
+    out = (finals.union(boundary)
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
 
