@@ -27,13 +27,26 @@ from ..utils import remote_args
 
 
 def _vec_matrix(col) -> np.ndarray:
-    """ListArray of fixed-dim vectors → (rows, dim) float64 matrix, one
-    zero-copy-ish reshape of the flat child values (no per-row python)."""
+    """ListArray of fixed-dim vectors → (rows, dim) float64 matrix via one
+    offset-aware flatten (no per-row python).  ``flatten()`` honours a
+    slice offset — ``.values`` would silently return the UNSLICED child
+    and misalign every row — and the offsets are validated so ragged or
+    null rows fail loudly instead of corrupting downstream cosines."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    flat = np.asarray(col.values, dtype=np.float64)
-    return flat.reshape(n, len(flat) // n) if n else np.zeros((0, 1))
+    if n == 0:
+        return np.zeros((0, 1))
+    if col.null_count:
+        raise ValueError("embedding column contains null vectors")
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    widths = np.diff(offs)
+    if widths.min() != widths.max():
+        raise ValueError(
+            "ragged embedding column: row lengths differ "
+            f"(min {int(widths.min())}, max {int(widths.max())})")
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(n, int(widths[0]))
 
 
 def _normalize_stage(vec_col: str, id_col: str):
@@ -88,7 +101,7 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
                              threshold: float = 0.9,
                              method: str = None,
                              lsh_bits: int = 0,
-                             lsh_tables: int = 16,
+                             lsh_tables: int = None,
                              seed: int = 13,
                              target_block_rows: int = 4096,
                              exact_max_rows: int = DEFAULT_EXACT_MAX_ROWS
@@ -152,21 +165,58 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
     return _pairs_table(rows)
 
 
+LSH_TARGET_RECALL = 0.95
+LSH_MAX_AUTO_TABLES = 64
+
+
+def lsh_expected_recall(threshold: float, bits: int, tables: int) -> float:
+    """Recall of sign-LSH banding at the given cosine threshold:
+    1-(1-p^bits)^tables with p = 1-θ/π the per-plane agreement
+    probability of a pair sitting exactly at the threshold (pairs above
+    the threshold have higher recall)."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    return float(1.0 - (1.0 - p ** bits) ** tables)
+
+
+def _auto_lsh_tables(threshold: float, bits: int,
+                     target_recall: float = LSH_TARGET_RECALL) -> int:
+    """Smallest table count whose expected recall at the threshold meets
+    ``target_recall`` — tables must GROW with bits or recall collapses
+    as auto-sized bits track corpus size (ADVICE r3: 16 tables × 12
+    bits is ~93% at cos 0.9; × 21 bits ~47%).  Capped so the fan-out
+    factor stays bounded; past the cap the shortfall is logged."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    hit = p ** bits
+    if hit >= 1.0:
+        return 1
+    need = int(np.ceil(np.log1p(-target_recall) / np.log1p(-hit)))
+    return max(1, min(LSH_MAX_AUTO_TABLES, need))
+
+
 def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
-               lsh_bits: int, seed: int, n_tables: int = 16) -> pa.Table:
+               lsh_bits: int, seed: int, n_tables: int = None) -> pa.Table:
     """Banded random-hyperplane LSH: ``n_tables`` independent sign-hash
     tables of ``lsh_bits`` bits each; a pair is a candidate if it shares
     a bucket in ANY table (recall = 1-(1-p^bits)^tables with p the
-    per-plane agreement probability 1-θ/π — at cos 0.9 and 16x8 bands
-    that is >0.99).  map_batches computes all table codes with one
-    broadcast plane matrix; groupby((table, bucket)) compares only
-    within buckets — linear shuffle volume x n_tables, the web-scale
-    path.  lsh_bits=0 auto-sizes bits to log2(rows/64) so per-bucket
-    work stays bounded as the corpus grows."""
+    per-plane agreement probability 1-θ/π).  map_batches computes all
+    table codes with one broadcast plane matrix; groupby((table,
+    bucket)) compares only within buckets — linear shuffle volume x
+    n_tables, the web-scale path.  lsh_bits=0 auto-sizes bits to
+    log2(rows/64) so per-bucket work stays bounded as the corpus grows,
+    and n_tables=None then auto-sizes the table count so expected
+    recall at the threshold stays >= LSH_TARGET_RECALL (tables scale
+    with bits — fixed tables would decay recall at corpus scale)."""
+    import logging
 
     if lsh_bits <= 0:
         n = ds.count()
         lsh_bits = max(8, int(np.ceil(np.log2(max(2, n / 64)))))
+    if n_tables is None:
+        n_tables = _auto_lsh_tables(threshold, lsh_bits)
+    expected = lsh_expected_recall(threshold, lsh_bits, n_tables)
+    logging.getLogger(__name__).info(
+        "embedding LSH: bits=%d tables=%d expected recall at cos>=%.3f: "
+        "%.4f", lsh_bits, n_tables, threshold, expected)
     planes: dict = {}
 
     def stage(batch: pa.Table) -> pa.Table:
@@ -224,10 +274,7 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
         if not multi.any():
             return empty
         ids = tbl.column(id_col).to_numpy()
-        vl = tbl.column(vec_col).combine_chunks()
-        flat = np.asarray(vl.values, dtype=np.float64)
-        dim = len(flat) // n
-        m = flat.reshape(n, dim)
+        m = _vec_matrix(tbl.column(vec_col))
         rows = []
         for s, e in zip(starts[multi], ends[multi]):
             rows.extend(_block_pairs_task(ids[s:e], m[s:e],

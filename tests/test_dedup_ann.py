@@ -405,3 +405,41 @@ class TestAudioCodecs:
                                             type=pa.binary())})
         with pytest.raises(NotImplementedError):
             DecodeAudioStage(strict=True)(batch)
+
+
+class TestVecMatrixAndLshSizing:
+    """ADVICE r3: offset-aware vector decode + recall-aware LSH tables."""
+
+    def test_vec_matrix_sliced_column(self):
+        import numpy as np
+
+        from tantivy_ray.dedup.embedding import _vec_matrix
+
+        arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]],
+                       type=pa.list_(pa.float64()))
+        m = _vec_matrix(arr.slice(1, 2))
+        assert np.allclose(m, [[3.0, 4.0], [5.0, 6.0]])
+
+    def test_vec_matrix_rejects_ragged_and_null(self):
+        from tantivy_ray.dedup.embedding import _vec_matrix
+
+        with pytest.raises(ValueError, match="ragged"):
+            _vec_matrix(pa.array([[1.0, 2.0], [3.0]],
+                                 type=pa.list_(pa.float64())))
+        with pytest.raises(ValueError, match="null"):
+            _vec_matrix(pa.array([[1.0, 2.0], None],
+                                 type=pa.list_(pa.float64())))
+
+    def test_auto_tables_track_bits(self):
+        from tantivy_ray.dedup.embedding import (_auto_lsh_tables,
+                                                 lsh_expected_recall)
+
+        prev = 0
+        for bits in (8, 12, 16):
+            tables = _auto_lsh_tables(0.9, bits)
+            assert tables >= prev  # tables grow with bits
+            assert lsh_expected_recall(0.9, bits, tables) >= 0.95
+            prev = tables
+        # past the cap: bounded fan-out, recall shortfall is the
+        # documented trade (logged at runtime)
+        assert _auto_lsh_tables(0.9, 24) == 64
