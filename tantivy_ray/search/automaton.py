@@ -250,7 +250,9 @@ class RegexAutomaton:
         kind = pred[0]
         if kind == "ch":
             if self.ignorecase:
-                return ch.lower() == pred[1].lower()
+                # full casefold, not lower(): re.IGNORECASE folds 'ſ'→'s'
+                # and 'K' (U+212A)→'k'; lower() misses the first
+                return ch.casefold() == pred[1].casefold()
             return ch == pred[1]
         if kind == "any":
             return self.dotall or ch != "\n"
@@ -267,7 +269,7 @@ class RegexAutomaton:
 
         hit = inside(ch)
         if self.ignorecase and not hit:
-            for v in (ch.lower(), ch.upper()):
+            for v in (ch.lower(), ch.upper(), ch.casefold()):
                 # len guard: some case mappings expand ('İ'.lower() is 2 chars)
                 if v != ch and len(v) == 1 and inside(v):
                     hit = True

@@ -245,3 +245,32 @@ class TestEndToEndGate:
 
         got = expand_regex(r, "zzz+")
         assert set(got) == {"zzz", "zzzz"}
+
+
+class TestIgnorecaseCasefold:
+    """ADVICE r3: (?i) must use full casefolding like re.IGNORECASE —
+    'ſ' (U+017F) folds to 's' under casefold() but not lower()."""
+
+    CASES = [
+        ("(?i)strasse", ["ſtraſse", "STRASSE", "strasse", "straße"]),
+        ("(?i)s", ["ſ", "S", "s", "t"]),
+        ("(?i)[a-z]+", ["ſſ", "ABC", "abc", "123"]),
+        ("(?i)[k-m]", ["K", "K", "ſ"]),
+    ]
+
+    def test_matches_re_fullmatch(self):
+        import re
+
+        from tantivy_ray.search.automaton import RegexAutomaton
+
+        for pat, terms in self.CASES:
+            a = RegexAutomaton(pat)
+            for t in terms:
+                want = re.fullmatch(pat, t) is not None
+                st = a.start()
+                for ch in t:
+                    if st is None:
+                        break
+                    st = a.step(st, ch)
+                got = st is not None and a.is_match(st)
+                assert got == want, (pat, t, got, want)
