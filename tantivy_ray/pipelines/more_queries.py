@@ -617,9 +617,12 @@ class _NumericIndexPrep:
 
 
 def q_numeric_range_count(sf_dir: str) -> pa.Table:
-    """Inverted-index RangeQuery over order-preserving numeric terms
-    (the reference's term-range variant; fast-field ranges are the other
-    path): counts of events.value in fixed ranges."""
+    """RangeQuery over numeric values, exercised through BOTH reference
+    variants (reference range_query/ picks per field capability): the
+    inverted-index term-range union over order-preserving encoded terms
+    AND the fast-field columnar scan (range_query_fastfield.rs) over the
+    raw value column stored as a fast field — the counts are asserted
+    identical before returning, so the oracle hash covers both paths."""
     import hashlib as _hashlib
 
     from ..index.build import build_index
@@ -627,7 +630,7 @@ def q_numeric_range_count(sf_dir: str) -> pa.Table:
     from ..search.query import NumericRangeQuery, count_query
 
     tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = os.path.join("/tmp/tantivy_ray_cache", f"num_ix_{tag}")
+    idx = os.path.join("/tmp/tantivy_ray_cache", f"num_ix2_{tag}")
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         # distributed: the numeric term-encode runs as the build task's
         # per-partition transform straight off events.parquet — no
@@ -637,6 +640,7 @@ def q_numeric_range_count(sf_dir: str) -> pa.Table:
             text_col="dummy_text", id_col="event_id",
             docs_per_segment=50_000,
             extra_text_fields={"value_enc": "raw"},
+            fast_fields=["value"],
             transform=_NumericIndexPrep("value", kind="f64"),
             source_columns=["event_id", "value"],
         )
@@ -644,10 +648,17 @@ def q_numeric_range_count(sf_dir: str) -> pa.Table:
     ranges = [(0.0, 5.0), (5.0, 20.0), (20.0, 100.0)]
     rows = []
     for lo, hi in ranges:
-        q = NumericRangeQuery("value_enc", lo, hi, kind="f64")
-        n = count_query(s.readers, q, s.total_num_docs,
-                        s.average_fieldnorm, s.doc_freq)
-        rows.append((f"{lo}-{hi}", n))
+        variant_counts = []
+        for force in ("terms", "scan"):
+            q = NumericRangeQuery("value_enc", lo, hi, kind="f64",
+                                  fast_field="value")
+            q.force_variant = force
+            variant_counts.append(
+                count_query(s.readers, q, s.total_num_docs,
+                            s.average_fieldnorm, s.doc_freq))
+        assert variant_counts[0] == variant_counts[1], (
+            f"range variants disagree on [{lo},{hi}): {variant_counts}")
+        rows.append((f"{lo}-{hi}", variant_counts[0]))
     return pa.table({
         "bucket": pa.array([r[0] for r in rows], type=pa.string()),
         "doc_count": pa.array([r[1] for r in rows], type=pa.int64()),

@@ -111,13 +111,31 @@ class RangeQuery(Query):
     upper: Optional[str] = None      # exclusive
     include_upper: bool = False
     field: Optional[str] = None      # None = primary text field
+    # fast-field scan variant (reference range_query_fastfield.rs): when
+    # the same value also lives in a columnar fast field, the evaluator
+    # may scan that column with the RAW bounds instead of unioning the
+    # expanded term postings — chosen when the term expansion is wider
+    # than FF_SCAN_CUTOFF (term explosion on high-cardinality fields).
+    fast_field: Optional[str] = None
+    raw_lower: Optional[object] = None
+    raw_upper: Optional[object] = None
+    force_variant: Optional[str] = None   # None | "terms" | "scan"
+
+
+# term-expansion width above which a RangeQuery with a fast column
+# switches to the columnar scan (reference picks the fast-field variant
+# whenever the field is fast; the width gate keeps narrow ranges on the
+# cheaper posting union)
+FF_SCAN_CUTOFF = 128
 
 
 def NumericRangeQuery(field: str, lower=None, upper=None,
-                      kind: str = "i64", include_upper: bool = False
+                      kind: str = "i64", include_upper: bool = False,
+                      fast_field: Optional[str] = None
                       ) -> "RangeQuery":
     """Range over an indexed numeric/date term field (the inverted-index
-    RangeQuery variant; fast-field ranges are FastFieldFilterQuery).
+    RangeQuery variant; pass ``fast_field`` naming a columnar fast field
+    holding the same raw values to enable the scan variant).
     Bounds are encoded with the order-preserving codecs (index/numeric.py)."""
     from ..index.numeric import (encode_bool, encode_bytes,
                                  encode_datetime_s, encode_f64, encode_i64,
@@ -131,6 +149,9 @@ def NumericRangeQuery(field: str, lower=None, upper=None,
         upper=enc(upper) if upper is not None else None,
         include_upper=include_upper,
         field=field,
+        fast_field=fast_field,
+        raw_lower=lower,
+        raw_upper=upper,
     )
 
 
@@ -253,6 +274,32 @@ def expand_regex(reader: SegmentReader, pattern: str) -> List[str]:
         return [t for t in reader.terms() if rx.fullmatch(t)]
     arr = reader.term_array()
     return [arr[i].as_py() for i in intersect_sorted_terms(arr, aut)]
+
+
+def range_width(reader: SegmentReader, q: RangeQuery) -> int:
+    """Upper bound on the number of dictionary terms a RangeQuery would
+    expand to — two bisects over the sorted dict, no materialization
+    (drives the terms-vs-fastfield-scan variant choice)."""
+    import bisect
+
+    terms = reader.terms()
+    if q.field:
+        prefix = q.field + "\x00"
+        lo_key = prefix + (q.lower if q.lower is not None else "")
+        hi_key = (prefix + q.upper) if q.upper is not None else (
+            q.field + "\x01")
+        lo = bisect.bisect_left(terms, lo_key)
+        hi = (bisect.bisect_right(terms, hi_key) if q.include_upper
+              and q.upper is not None else bisect.bisect_left(terms, hi_key))
+        return max(0, hi - lo)
+    lo = bisect.bisect_left(terms, q.lower) if q.lower is not None else 0
+    if q.upper is None:
+        hi = len(terms)
+    elif q.include_upper:
+        hi = bisect.bisect_right(terms, q.upper)
+    else:
+        hi = bisect.bisect_left(terms, q.upper)
+    return max(0, hi - lo)
 
 
 def expand_range(reader: SegmentReader, q: RangeQuery) -> List[str]:
@@ -454,6 +501,41 @@ class QueryEvaluator:
     def _empty(self) -> DocScores:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
+    def _eval_range(self, q: RangeQuery) -> DocScores:
+        """Two RangeQuery variants (reference range_query/ picks between
+        the term-range union and a fast-field columnar scan,
+        range_query_fastfield.rs): when the query names a fast column
+        and the term expansion is wider than FF_SCAN_CUTOFF, scan the
+        column with the raw bounds (vectorized compare over the dense
+        per-doc values — null/NaN rows never pass); otherwise union the
+        expanded posting lists.  Both produce identical const-score doc
+        sets (asserted by tests + the numeric_range_count contract).
+        The chosen variant is recorded in ``self.last_range_variant``."""
+        use_scan = False
+        if q.fast_field is not None and q.force_variant != "terms":
+            try:
+                names = self.reader.fast_field_names()
+            except Exception:
+                names = []
+            if q.fast_field in names:
+                use_scan = (q.force_variant == "scan" or
+                            range_width(self.reader, q) > FF_SCAN_CUTOFF)
+        self.last_range_variant = "scan" if use_scan else "terms"
+        if not use_scan:
+            return self._union_terms_const(expand_range(self.reader, q), 1.0)
+        vals = self.reader.fast_field(q.fast_field)
+        with np.errstate(invalid="ignore"):
+            mask = np.ones(len(vals), dtype=bool)
+            if q.raw_lower is not None:
+                mask &= vals >= q.raw_lower
+            if q.raw_upper is not None:
+                mask &= (vals <= q.raw_upper if q.include_upper
+                         else vals < q.raw_upper)
+            if q.raw_lower is None and q.raw_upper is None:
+                mask &= vals == vals  # drop NaN/missing, like the dict
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.ones(len(docs), dtype=np.float32)
+
     def _union_terms_const(self, terms: Sequence[str], score: float) -> DocScores:
         sets = []
         for t in terms:
@@ -509,7 +591,7 @@ class QueryEvaluator:
             return self._union_terms_const(q.terms, 1.0)
 
         if isinstance(q, RangeQuery):
-            return self._union_terms_const(expand_range(self.reader, q), 1.0)
+            return self._eval_range(q)
 
         if isinstance(q, (FuzzyTermQuery, RegexQuery)):
             terms = (expand_fuzzy(self.reader, q)
