@@ -13,9 +13,41 @@ an exact-match term — TermQuery("props.k=69"), RangeQuery over
 from __future__ import annotations
 
 import json
-from typing import Iterable, List
+import math
+from typing import Iterable, List, Optional
 
 import pyarrow as pa
+
+# separator between a json path and its TYPED value encoding (reference
+# json_utils.rs:146-210 appends a type byte + order-preserving fast-value
+# bytes after the path id; here the type is a 1-char code and the value
+# the hex codecs of index/numeric.py, so lexicographic term order ==
+# numeric order within one (path, type) prefix).  '\x01' never occurs in
+# flattened text terms and the whitespace analyzer passes it through.
+TYPED_SEP = "\x01"
+
+
+def typed_json_terms(path: str, v) -> List[str]:
+    """Typed term(s) for a numeric/bool JSON leaf (reference
+    segment_writer.rs:381-400 via json_utils.rs index_json_value):
+    integral numbers normalize to the i64 encoding — the reference
+    coerces query and index side alike — non-integral finite floats to
+    f64, bools to b0/b1.  Strings/null have no typed form here."""
+    from ..index.numeric import encode_f64, encode_i64
+
+    if isinstance(v, bool):
+        return [f"{path}{TYPED_SEP}b" + ("1" if v else "0")]
+    if isinstance(v, int):
+        if -(1 << 63) <= v < (1 << 63):
+            return [f"{path}{TYPED_SEP}i{encode_i64(v)}"]
+        return [f"{path}{TYPED_SEP}f{encode_f64(float(v))}"]
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            return []  # reference drops non-finite (json_utils.rs:171)
+        if v.is_integer() and abs(v) < float(1 << 63):
+            return [f"{path}{TYPED_SEP}i{encode_i64(int(v))}"]
+        return [f"{path}{TYPED_SEP}f{encode_f64(v)}"]
+    return []
 
 
 def flatten_json(col: str, raw: str) -> List[str]:
@@ -23,7 +55,9 @@ def flatten_json(col: str, raw: str) -> List[str]:
 
     Scalars become `col.path=value` (strings lowercased, numbers via
     repr-normalization: ints stay ints, floats minimal repr); lists index
-    into the path like expand_dots; null/objects recurse."""
+    into the path like expand_dots; null/objects recurse.  Numeric and
+    bool leaves ADDITIONALLY emit a typed term (``typed_json_terms``) so
+    range queries work inside JSON."""
     if not raw:
         return []
     try:
@@ -52,9 +86,50 @@ def flatten_json(col: str, raw: str) -> List[str]:
             out.append(f"{path}=null")
         else:
             out.append(f"{path}={norm(v)}")
+            out.extend(typed_json_terms(path, v))
 
     walk(col, obj)
     return sorted(out)
+
+
+def json_numeric_range_query(path: str, lower=None, upper=None,
+                             include_upper: bool = False):
+    """Range over the TYPED numeric terms of a json path — the analog of
+    the reference's JSON numeric range (query side normalizes like the
+    index side, json_utils.rs:304).  Returns a BooleanQuery unioning the
+    i64-typed and f64-typed subranges of the path (integral values are
+    indexed under i64, the rest under f64)."""
+    from ..search.query import BooleanQuery, RangeQuery
+    from ..index.numeric import encode_f64, encode_i64
+
+    # i64 leg: integer bounds equivalent to the real-valued interval
+    if lower is None:
+        i_lo: Optional[int] = None
+    else:
+        i_lo = int(math.ceil(lower))
+    if upper is None:
+        i_hi: Optional[int] = None
+    else:
+        i_hi = (int(math.floor(upper)) + 1) if include_upper \
+            else int(math.ceil(upper))
+    legs = []
+    for code, enc, lo, hi, iu in (
+        ("i", encode_i64, i_lo, i_hi, False),
+        ("f", encode_f64,
+         float(lower) if lower is not None else None,
+         float(upper) if upper is not None else None, include_upper),
+    ):
+        prefix = f"{path}{TYPED_SEP}{code}"
+        lo_key = prefix + (enc(lo) if lo is not None else "")
+        if hi is None:
+            hi_key = prefix + "g"  # 'g' > every hex digit: past the prefix
+            leg_iu = False
+        else:
+            hi_key = prefix + enc(hi)
+            leg_iu = iu
+        legs.append(RangeQuery(lower=lo_key, upper=hi_key,
+                               include_upper=leg_iu))
+    return BooleanQuery(should=legs)
 
 
 class FlattenJsonStage:

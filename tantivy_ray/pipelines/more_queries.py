@@ -526,25 +526,75 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
 
 
 
+def _json_index(sf_dir: str) -> str:
+    """Shared flattened-JSON index over events.props (text + typed
+    terms), built once per sf_dir."""
+    import hashlib as _hashlib
+
+    from ..pipelines.json_fields import build_json_index
+
+    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp/tantivy_ray_cache", f"json_ix2_{tag}")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_json_index(sf_dir, idx)
+    return idx
+
+
+def q_json_numeric_range(sf_dir: str) -> pa.Table:
+    """Typed JSON path terms (VERDICT r3 item 9; reference
+    segment_writer.rs:381-400): numbers under props.k are indexed as
+    order-preserving typed terms, so numeric RANGE queries work inside
+    JSON — counts of events with props.k in fixed ranges, served from
+    the same flattened index as json_term_df."""
+    from ..pipelines.json_fields import json_numeric_range_query
+    from ..search import IndexSearcher
+    from ..search.query import count_query
+
+    s = IndexSearcher(_json_index(sf_dir))
+    ranges = [(0, 10, False), (10, 50, False), (50, 99, True)]
+    rows = []
+    for lo, hi, iu in ranges:
+        q = json_numeric_range_query("props.k", lo, hi, include_upper=iu)
+        n = count_query(s.readers, q, s.total_num_docs,
+                        s.average_fieldnorm, s.doc_freq)
+        rows.append((f"{lo}-{hi}{'incl' if iu else ''}", n))
+    return pa.table({
+        "bucket": pa.array([r[0] for r in rows], type=pa.string()),
+        "doc_count": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+SQL_JSON_NUMERIC_RANGE = """
+SELECT b.bucket, count(k.v) AS doc_count
+FROM (VALUES ('0-10', 0, 10, FALSE), ('10-50', 10, 50, FALSE),
+             ('50-99incl', 50, 99, TRUE)) AS b(bucket, lo, hi, iu)
+LEFT JOIN (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS v
+           FROM events) k
+  ON k.v >= b.lo AND (k.v < b.hi OR (b.iu AND k.v = b.hi))
+GROUP BY b.bucket
+ORDER BY b.bucket
+"""
+
+
 def q_json_term_df(sf_dir: str) -> pa.Table:
     """JSON dynamic fields: doc_freq of each flattened props.k=<v> term
     (the JsonObject path-term analog) served from a whitespace-analyzed
     term index over events.props."""
-    import hashlib as _hashlib
-
-    from ..pipelines.json_fields import build_json_index
     from ..search import IndexSearcher
 
-    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = os.path.join("/tmp/tantivy_ray_cache", f"json_ix_{tag}")
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
-        build_json_index(sf_dir, idx)
+    idx = _json_index(sf_dir)
     s = IndexSearcher(idx)
     # vectorized vocab stats: per-segment Arrow (term, doc_freq) tables
-    # summed with one groupby — no per-term python lookups
+    # summed with one groupby — no per-term python lookups; TYPED value
+    # terms (path\x01<type><enc>, the range surface) are excluded: this
+    # query is the doc_freq of the flattened TEXT terms
+    import pyarrow.compute as pc
+
     merged = pa.concat_tables([r.term_stats_table() for r in s.readers])
     grouped = merged.group_by("term").aggregate([("doc_freq", "sum")])
-    grouped = grouped.sort_by("term")
+    keep = pc.invert(pc.match_substring(
+        grouped.column("term").cast(pa.string()), "\x01"))
+    grouped = grouped.filter(keep).sort_by("term")
     return pa.table({
         "term": grouped.column("term").cast(pa.string()),
         "doc_freq": grouped.column("doc_freq_sum").cast(pa.int64()),
@@ -957,6 +1007,7 @@ MORE_QUERIES: Dict = {
     "numeric_range_count": q_numeric_range_count,
     "field_scoped_counts": q_field_scoped_counts,
     "json_term_df": q_json_term_df,
+    "json_numeric_range": q_json_numeric_range,
     "topk_bm25_filtered": q_topk_bm25_filtered,
     "count_matching": q_count_matching,
     "top_by_nchars": q_top_by_nchars,
@@ -976,6 +1027,7 @@ MORE_ORACLE_SQL: Dict[str, str] = {
     "count_matching": _sql_count_matching(),
     "top_by_nchars": SQL_TOP_BY_NCHARS,
     "json_term_df": SQL_JSON_TERM_DF,
+    "json_numeric_range": SQL_JSON_NUMERIC_RANGE,
     "field_scoped_counts": SQL_FIELD_SCOPED_COUNTS,
     "numeric_range_count": SQL_NUMERIC_RANGE_COUNT,
     "fuzzy_match_count": SQL_FUZZY_MATCH_COUNT,
