@@ -153,6 +153,30 @@ def run_bench() -> dict:
                     concurrency=max(2, NUM_CPUS // 4), use_wand=False)
     stages["search_batch_cold"] = round(time.time() - t0, 3)
 
+    # 2b. single-query latency on the many-segment index (VERDICT r3
+    # item 10: the per-segment evaluator loop was the many-segment
+    # latency killer; flat term booleans now dispatch to the global
+    # vectorized pass).  Driver-side warm searcher, ms per query.
+    from tantivy_ray.search import IndexSearcher
+    from tantivy_ray.search.query import BooleanQuery, TermQuery
+
+    s1 = IndexSearcher(ix)
+    lat_qs = [
+        BooleanQuery(should=[TermQuery(t) for t in terms])
+        for (_, terms, mode, _) in REFERENCE_QUERY_SET[:4]
+    ] + [
+        BooleanQuery(must=[TermQuery(t) for t in terms])
+        for (_, terms, mode, _) in REFERENCE_QUERY_SET[:2]
+    ]
+    for lq in lat_qs:
+        s1.search_query(lq, 10)
+    t0 = time.time()
+    for _ in range(5):
+        for lq in lat_qs:
+            s1.search_query(lq, 10)
+    stages["single_query_ms"] = round(
+        (time.time() - t0) * 1000 / (5 * len(lat_qs)), 3)
+
     # 3. the wide step: groupby-term merge with salting
     merged = os.path.join(BENCH_ROOT, f"merged_{NUM_CPUS}")
     t_merge = float("inf")

@@ -481,6 +481,19 @@ class SegmentReader:
 
     def positions(self, term: str) -> Optional[List[np.ndarray]]:
         """Per-posting position arrays (absolute), doc order."""
+        pf = self.positions_flat(term)
+        if pf is None:
+            return None
+        _, _, flat, offs = pf
+        return [flat[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)]
+
+    def positions_flat(self, term: str):
+        """→ (docs, tfs, flat_abs_positions, offsets) or None.
+
+        ONE segmented cumsum decodes every posting's delta stream (the
+        per-posting encoding resets to absolute at posting boundaries,
+        so decoded[i] = cumsum(raw)[i] - cumsum(raw)[posting_start-1]) —
+        no per-posting python; the per-doc slice is offsets[i:i+2]."""
         o = self.term_ord(term)
         if o is None or self._positions_blob is None or self._pos_off[o] < 0:
             return None
@@ -488,15 +501,14 @@ class SegmentReader:
         raw = np.frombuffer(
             self._positions_blob[s:s + int(self._pos_len[o])], dtype=np.uint32
         )
-        r = self.postings_reader(term)
-        docs, tfs = r.decode_all()
-        out = []
-        idx = 0
-        for tf in tfs:
-            d = raw[idx:idx + int(tf)]
-            out.append(np.cumsum(d, dtype=np.uint32))
-            idx += int(tf)
-        return out
+        docs, tfs = self.postings_reader(term).decode_all()
+        tfs64 = tfs.astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(tfs64)])
+        cs = np.cumsum(raw.astype(np.int64))
+        cs0 = np.concatenate([[0], cs])
+        base = cs0[offs[:-1]]
+        flat = (cs - np.repeat(base, tfs64)).astype(np.uint32)
+        return docs, tfs, flat, offs
 
     def doc_keys(self, id_col: str = "url") -> pa.Table:
         return pq.read_table(os.path.join(self.path, "docs.parquet"))

@@ -417,6 +417,8 @@ def phrase_match_counts(reader: SegmentReader, terms: Sequence[str],
                                 assume_unique=True)
     if len(common) == 0:
         return common, np.empty(0, np.uint32)
+    if slop == 0 and len(terms) < 64:
+        return _phrase_exact_vectorized(reader, terms, post, common)
     pos_lists = [reader.positions(t) for t in terms]
     if any(p is None for p in pos_lists):
         raise ValueError("phrase query requires positions "
@@ -452,6 +454,41 @@ def phrase_match_counts(reader: SegmentReader, terms: Sequence[str],
             tfs_out.append(cnt)
     return (np.array(docs_out, dtype=np.int64),
             np.array(tfs_out, dtype=np.uint32))
+
+
+def _phrase_exact_vectorized(reader: SegmentReader, terms, post,
+                             common: np.ndarray) -> DocScores:
+    """slop=0 phrase counting with NO per-doc python: each candidate
+    doc's positions are tagged with a per-doc run id and packed into one
+    int64 key (run_id << 33 | pos + 64 - term_offset), so the per-doc
+    position intersections across all terms collapse into len(terms)-1
+    whole-segment np.intersect1d calls; per-doc phrase tf is then a
+    run-length count of the surviving keys' run ids.  Exactly equal to
+    the per-doc loop it replaces (tests assert parity)."""
+    inter = None
+    for ti, t in enumerate(terms):
+        pf = reader.positions_flat(t)
+        if pf is None:
+            raise ValueError("phrase query requires positions "
+                             "(build with record_positions=True)")
+        docs_t, tfs_t, flat, offs = pf
+        idx = np.searchsorted(docs_t, common)
+        starts = offs[idx]
+        lens = tfs_t[idx].astype(np.int64)
+        total = int(lens.sum())
+        # multi-range gather of each candidate doc's position slice
+        run_first = np.repeat(starts, lens)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(lens) - lens, lens))
+        pos = flat[run_first + within].astype(np.int64)
+        run_id = np.repeat(np.arange(len(common), dtype=np.int64), lens)
+        keys = (run_id << 33) | (pos + 64 - ti)
+        inter = keys if inter is None else np.intersect1d(
+            inter, keys, assume_unique=True)
+        if len(inter) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.uint32))
+    rid, counts = np.unique(inter >> 33, return_counts=True)
+    return common[rid], counts.astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -792,12 +829,16 @@ def topk_by_fast_field(readers: Sequence[SegmentReader], query: Query,
 def evaluate_topk(readers: Sequence[SegmentReader], query: Query,
                   total_num_docs: int, average_fieldnorm: float,
                   k: int, doc_freq_of=None,
-                  field_avgs=None) -> List[Tuple[float, int, int]]:
-    """Evaluate over segments + merge with collector tie rules."""
+                  field_avgs=None, pool=None) -> List[Tuple[float, int, int]]:
+    """Evaluate over segments + merge with collector tie rules.
+
+    ``pool``: optional ThreadPoolExecutor — one task per segment
+    (reference Executor::ThreadPool, src/core/executor.rs:32-37); the
+    per-segment partials are order-independent and the final merge_topk
+    is deterministic, so threaded results are identical to serial."""
     from .searcher import merge_topk
 
-    hits: List[Tuple[float, int, int]] = []
-    for r in readers:
+    def one_segment(r: SegmentReader) -> List[Tuple[float, int, int]]:
         ev = QueryEvaluator(r, total_num_docs, average_fieldnorm, doc_freq_of,
                             field_avgs=field_avgs)
         docs, scores = ev.evaluate(query)
@@ -806,7 +847,14 @@ def evaluate_topk(readers: Sequence[SegmentReader], query: Query,
             keep = scores >= kth
             docs, scores = docs[keep], scores[keep]
         order = np.lexsort((docs, -scores))[:k]
-        hits.extend(
-            (float(scores[i]), r.segment_ord, int(docs[i])) for i in order
-        )
+        return [(float(scores[i]), r.segment_ord, int(docs[i]))
+                for i in order]
+
+    if pool is None:
+        partials = [one_segment(r) for r in readers]
+    else:
+        partials = list(pool.map(one_segment, readers))
+    hits: List[Tuple[float, int, int]] = []
+    for p in partials:
+        hits.extend(p)
     return merge_topk(hits, k)

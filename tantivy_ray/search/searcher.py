@@ -190,9 +190,16 @@ class IndexSearcher:
     locally."""
 
     def __init__(self, index_dir: str, segment_ords: Optional[Sequence[int]] = None,
-                 manifest: Optional[IndexManifest] = None):
+                 manifest: Optional[IndexManifest] = None,
+                 num_threads: int = 0):
         self.index_dir = index_dir
         self.manifest = manifest or load_manifest(index_dir)
+        # per-segment search parallelism INSIDE this searcher (reference
+        # Executor::ThreadPool, src/core/executor.rs:32-37: one task per
+        # segment).  0/1 = serial.  numpy kernels release the GIL, so
+        # threads overlap the scoring work on many-segment indexes.
+        self.num_threads = int(num_threads)
+        self._seg_pool = None
         ords = (
             [s["segment_ord"] for s in self.manifest.segments]
             if segment_ords is None
@@ -302,9 +309,31 @@ class IndexSearcher:
         if not use_wand and len(self.readers) > 1:
             return self._search_global(terms, weights, mode, k)
         hits: List[TopHit] = []
-        for s in self.searchers:
-            hits.extend(s.topk(terms, weights, mode, k, use_wand=use_wand))
+        for seg_hits in self._map_searchers(
+                lambda s: s.topk(terms, weights, mode, k,
+                                 use_wand=use_wand)):
+            hits.extend(seg_hits)
         return merge_topk(hits, k)
+
+    def _executor(self):
+        """Lazy per-searcher thread pool (reference executor.rs:32-37);
+        None when serial."""
+        if self.num_threads > 1 and self._seg_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._seg_pool = ThreadPoolExecutor(
+                max_workers=self.num_threads,
+                thread_name_prefix="seg-search")
+        return self._seg_pool
+
+    def _map_searchers(self, fn):
+        """fn over every SegmentSearcher, in segment order — threaded
+        when num_threads > 1, else a plain loop.  Per-segment results
+        are independent; the deterministic merge happens downstream."""
+        pool = self._executor()
+        if pool is None:
+            return [fn(s) for s in self.searchers]
+        return list(pool.map(fn, self.searchers))
 
     def _search_global(self, terms, weights, mode: str, k: int) -> List[TopHit]:
         """Candidate-sparse scoring over the concatenated global doc space —
@@ -388,12 +417,49 @@ class IndexSearcher:
         """Evaluate a Query AST (search.query) with global stats."""
         from .query import evaluate_topk
 
+        flat = self._flat_bool_terms(query)
+        if flat is not None and len(self.readers) > 1:
+            # vectorized cross-segment pass for flat term booleans (the
+            # python-glue per-segment evaluator loop is the many-segment
+            # latency killer; the reference fans rayon tasks per segment,
+            # executor.rs:32-37 — the Ray-side answer is ONE global
+            # candidate-sparse pass, identical results by the existing
+            # search()/search_query parity tests)
+            terms, mode = flat
+            return self.search(terms, mode, k,
+                               doc_freqs=({t: doc_freq_of(t) for t in terms}
+                                          if doc_freq_of else None))
+        # lazy per-reader caches (term tables, fieldnorms) are loaded
+        # idempotently — a concurrent first touch from two segment tasks
+        # just builds the same array twice — so threading is safe
         return evaluate_topk(
             self.readers, query, self.total_num_docs,
             self.average_fieldnorm, k,
             doc_freq_of=doc_freq_of or self.doc_freq,
             field_avgs=self.field_average_fieldnorms(),
+            pool=self._executor(),
         )
+
+    @staticmethod
+    def _flat_bool_terms(query):
+        """(terms, mode) when a Query is a flat primary-field term
+        disjunction/conjunction equivalent to ``search(terms, mode)``;
+        None otherwise."""
+        from .query import BooleanQuery, TermQuery
+
+        if not isinstance(query, BooleanQuery) or query.must_not:
+            return None
+        if query.must and not query.should:
+            clauses, mode = query.must, "and"
+        elif query.should and not query.must \
+                and query.minimum_should_match <= 1:
+            clauses, mode = query.should, "or"
+        else:
+            return None
+        if all(isinstance(c, TermQuery) and c.field is None
+               for c in clauses):
+            return [c.term for c in clauses], mode
+        return None
 
     def search_phrase(self, terms: Sequence[str], k: int = 10,
                       slop: int = 0) -> List[TopHit]:

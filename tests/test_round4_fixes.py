@@ -232,3 +232,118 @@ class TestSessionizeBoundary:
             assert r.n_events == len(ts)
             assert r.n_sessions == int(new.sum())
             assert r.longest_session_events == int(sl.max())
+
+
+class TestCrossSegmentQueryDispatch:
+    """VERDICT r3 item 10: flat term booleans route through the global
+    vectorized pass; the per-segment executor (num_threads) and the
+    serial evaluator loop stay f32/rank-identical."""
+
+    @pytest.fixture(scope="class")
+    def many_seg_ix(self, tmp_path_factory):
+        from tantivy_ray.index.manifest import IndexManifest, write_manifest
+        from tantivy_ray.index.segment import build_segment_from_table
+
+        d = tmp_path_factory.mktemp("msix")
+        words = ["fox", "dog", "quick", "brown", "lazy", "jump", "run",
+                 "walk", "sleep", "eat"]
+        metas = []
+        rng = __import__("random").Random(11)
+        doc_id = 0
+        for si in range(12):  # 12 segments
+            texts, ids = [], []
+            for _ in range(40):
+                texts.append(" ".join(rng.choice(words)
+                                      for _ in range(rng.randint(3, 12))))
+                ids.append(f"d{doc_id}")
+                doc_id += 1
+            metas.append(build_segment_from_table(
+                pa.table({"url": ids, "text": texts}), si, str(d),
+                record_positions=True))
+        write_manifest(str(d), IndexManifest(segments=metas,
+                                             record_positions=True))
+        return str(d)
+
+    def test_flat_bool_dispatch_parity(self, many_seg_ix):
+        from tantivy_ray.search.query import (BooleanQuery, PhraseQuery,
+                                              TermQuery, evaluate_topk)
+
+        s = IndexSearcher(many_seg_ix)
+        cases = [
+            BooleanQuery(should=[TermQuery("fox"), TermQuery("dog"),
+                                 TermQuery("quick")]),
+            BooleanQuery(must=[TermQuery("quick"), TermQuery("brown")]),
+            BooleanQuery(should=[TermQuery("lazy")]),
+            BooleanQuery(must=[TermQuery("nosuchterm"), TermQuery("fox")]),
+        ]
+        for q in cases:
+            want = evaluate_topk(
+                s.readers, q, s.total_num_docs, s.average_fieldnorm, 10,
+                doc_freq_of=s.doc_freq,
+                field_avgs=s.field_average_fieldnorms())
+            assert s.search_query(q, 10) == want
+        # non-flat shapes must NOT dispatch (msm, must_not, phrases)
+        assert s._flat_bool_terms(BooleanQuery(
+            should=[TermQuery("fox")], must_not=[TermQuery("dog")])) is None
+        assert s._flat_bool_terms(BooleanQuery(
+            should=[TermQuery("fox"), TermQuery("dog")],
+            minimum_should_match=2)) is None
+        assert s._flat_bool_terms(
+            BooleanQuery(must=[PhraseQuery(["quick", "brown"])])) is None
+
+    def test_threaded_executor_identical(self, many_seg_ix):
+        from tantivy_ray.search.query import (BooleanQuery, PhraseQuery,
+                                              TermQuery)
+
+        s0 = IndexSearcher(many_seg_ix)
+        s4 = IndexSearcher(many_seg_ix, num_threads=4)
+        cases = [
+            PhraseQuery(["quick", "brown"]),
+            BooleanQuery(must=[TermQuery("fox"),
+                               PhraseQuery(["lazy", "dog"])]),
+        ]
+        for q in cases:
+            assert s0.search_query(q, 10) == s4.search_query(q, 10)
+
+    def test_phrase_vectorized_matches_loop(self, many_seg_ix):
+        """The keyed-intersection phrase kernel == the per-doc loop it
+        replaced, across every segment and phrase length."""
+        import numpy as np
+
+        from tantivy_ray.search.query import (_phrase_exact_vectorized,
+                                              phrase_match_counts)
+
+        s = IndexSearcher(many_seg_ix)
+        phrases = [["quick", "brown"], ["lazy", "dog"],
+                   ["fox", "fox"], ["run", "walk", "sleep"],
+                   ["dog"]]
+        for r in s.readers:
+            for terms in phrases:
+                post = [r.postings(t) for t in terms]
+                if any(p is None for p in post):
+                    continue
+                common = post[0][0].astype(np.int64)
+                for p in post[1:]:
+                    common = np.intersect1d(common, p[0].astype(np.int64),
+                                            assume_unique=True)
+                if len(common) == 0:
+                    continue
+                vd, vt = _phrase_exact_vectorized(r, terms, post, common)
+                # reference loop: per-doc position intersection
+                pos_lists = [r.positions(t) for t in terms]
+                idx = [np.searchsorted(p[0], common) for p in post]
+                ld, lt = [], []
+                for ci, doc in enumerate(common):
+                    inter = pos_lists[0][idx[0][ci]].astype(np.int64)
+                    for ti in range(1, len(terms)):
+                        inter = np.intersect1d(
+                            inter,
+                            pos_lists[ti][idx[ti][ci]].astype(np.int64) - ti,
+                            assume_unique=True)
+                        if len(inter) == 0:
+                            break
+                    if len(inter):
+                        ld.append(doc)
+                        lt.append(len(inter))
+                assert list(vd) == ld, terms
+                assert list(vt) == lt, terms
