@@ -823,3 +823,30 @@ class MergedIndexReader:
             out.append(np.cumsum(raw[idx:idx + int(tf)], dtype=np.uint32))
             idx += int(tf)
         return out
+
+    def positions_flat(self, term: str):
+        """(docs, tfs, flat_abs_positions, offsets) — the vectorized
+        phrase kernel's decode (same segmented cumsum as
+        SegmentReader.positions_flat) over the merged streams."""
+        if not self.has_term(term):
+            return None
+        rows = self._term_rows(term)
+        if rows is None:
+            return None
+        streams = [r[3] or b"" for r in rows]
+        if not all(streams):
+            return None
+        raw = np.frombuffer(b"".join(streams), dtype=np.uint32)
+        p = self.postings(term)
+        if p is None:
+            return None
+        docs, tfs = p
+        if int(tfs.sum()) != len(raw):
+            return None  # stream/posting misalignment: refuse to serve
+        tfs64 = tfs.astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(tfs64)])
+        cs = np.cumsum(raw.astype(np.int64))
+        cs0 = np.concatenate([[0], cs])
+        base = cs0[offs[:-1]]
+        flat = (cs - np.repeat(base, tfs64)).astype(np.uint32)
+        return docs, tfs, flat, offs

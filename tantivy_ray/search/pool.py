@@ -57,35 +57,62 @@ class _SearcherHost:
         """Shard-local doc freqs (the sharded pool sums them globally)."""
         return self.searcher.doc_freqs(terms)
 
-    def search_parsed_chunk(self, chunk: List[Tuple[int, str, int]],
-                            analyzer: str = None) -> pa.Table:
-        """Raw query STRINGS through the full QueryParser grammar
-        (bool trees, phrases, fuzzy/regex automata, ranges, boosts)."""
+    def _get_parser(self, analyzer: str = None):
         from .queryparser import QueryParser
 
-        self.chunks_served += 1
         parser = getattr(self, "_parser", None)
         if parser is None:
             parser = self._parser = QueryParser(
                 analyzer or self.searcher.manifest.analyzer)
+        return parser
+
+    def parsed_stat_terms(self, chunk: List[Tuple[int, str, int]],
+                          analyzer: str = None):
+        """Shard-local doc freqs for every effective term the parsed
+        queries need (fuzzy/regex expanded against THIS shard's vocab);
+        the pool sums the per-shard maps into exact global stats."""
+        from .query import collect_stat_terms
+
+        parser = self._get_parser(analyzer)
+        terms: set = set()
+        for _, qtext, _ in chunk:
+            q = parser.parse(str(qtext))
+            for r in self.searcher.readers:
+                terms |= collect_stat_terms(q, r)
+        return {t: self.searcher.doc_freq(t) for t in terms}
+
+    def search_parsed_chunk(self, chunk: List[Tuple[int, str, int]],
+                            analyzer: str = None,
+                            doc_freqs=None,
+                            with_rank: bool = True) -> pa.Table:
+        """Raw query STRINGS through the full QueryParser grammar
+        (bool trees, phrases, fuzzy/regex automata, ranges, boosts).
+        ``doc_freqs``: global stats map for sharded evaluation."""
+        self.chunks_served += 1
+        parser = self._get_parser(analyzer)
+        df_of = (None if doc_freqs is None
+                 else (lambda t: doc_freqs.get(t, 0)))
         out = {"query_id": [], "rank": [], "score": [], "segment_ord": [],
                "doc_id": []}
         for qid, qtext, k in chunk:
             hits = self.searcher.search_query(parser.parse(str(qtext)),
-                                              int(k))
+                                              int(k), doc_freq_of=df_of)
             for rank, (s, seg, doc) in enumerate(hits):
                 out["query_id"].append(int(qid))
                 out["rank"].append(rank)
                 out["score"].append(np.float32(s))
                 out["segment_ord"].append(seg)
                 out["doc_id"].append(doc)
-        return pa.table({
+        cols = {
             "query_id": pa.array(out["query_id"], type=pa.int64()),
             "rank": pa.array(out["rank"], type=pa.int32()),
             "score": pa.array(out["score"], type=pa.float32()),
             "segment_ord": pa.array(out["segment_ord"], type=pa.int32()),
             "doc_id": pa.array(out["doc_id"], type=pa.int64()),
-        })
+        }
+        if not with_rank:
+            cols.pop("rank")
+        return pa.table(cols)
 
     def search_chunk(self, chunk: List[Tuple[int, List[str], str, int]],
                      doc_freqs=None, with_rank: bool = True) -> pa.Table:
@@ -123,7 +150,9 @@ class _SearcherHost:
 
 
 def _merge_topk_table(tbl: pa.Table, queries) -> pa.Table:
-    """Vectorized merge_fruits over the concatenated shard partials:
+    """Vectorized merge_fruits over the concatenated shard partials
+    (``queries`` rows may be term 4-tuples or parsed 3-tuples — only
+    the leading query_id and trailing k are read):
     ONE np.lexsort by (query_id asc, score desc, segment asc, doc asc)
     — the collector tie rule of searcher.merge_topk
     (reference src/collector/mod.rs:167-180) — then a run-length rank
@@ -141,7 +170,7 @@ def _merge_topk_table(tbl: pa.Table, queries) -> pa.Table:
     change[1:] = sq[1:] != sq[:-1]
     run_id = np.cumsum(change) - 1
     rank = np.arange(n, dtype=np.int64) - np.flatnonzero(change)[run_id]
-    ks = sorted((int(q), int(k)) for q, _, _, k in queries)
+    ks = sorted((int(q[0]), int(q[-1])) for q in queries)
     k_qids = np.array([q for q, _ in ks], dtype=np.int64)
     k_vals = np.array([k for _, k in ks], dtype=np.int64)
     keep = rank < k_vals[np.searchsorted(k_qids, sq)]
@@ -266,16 +295,19 @@ class SearcherPool:
         chunks_per_actor: int = 1,
     ) -> pa.Table:
         """(query_id, query_string, k) batch through the full parser
-        grammar — the warm-pool analog of ``parsed_search_pipeline``
-        (replicated mode only: the parser needs exact global stats,
-        which every full-index replica has locally)."""
+        grammar — the warm-pool analog of ``parsed_search_pipeline``.
+
+        Sharded mode runs the same two rounds as term batches, with the
+        stats round parsing each query and expanding fuzzy/regex against
+        each shard's own vocabulary (collect_stat_terms): the union of
+        per-shard expansions equals the full-vocab expansion and summed
+        dfs are exact, so results are f32/rank-identical to a full-index
+        replica."""
         import ray
 
-        if self.num_shards > 1:
-            raise ValueError("parsed batches need replicated mode "
-                             "(num_shards=1): every replica holds "
-                             "global stats")
         queries = list(queries)
+        if self.num_shards > 1:
+            return self._search_parsed_batch_sharded(queries)
         n_chunks = max(1, self.size * chunks_per_actor)
         chunks = [queries[i::n_chunks] for i in range(n_chunks)]
         refs = [
@@ -288,6 +320,32 @@ class SearcherPool:
         pdf = pa.concat_tables(tables).to_pandas()
         pdf = pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
         return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def _search_parsed_batch_sharded(self, queries) -> pa.Table:
+        import ray
+
+        # round 1: every shard parses + expands against its own vocab and
+        # reports local dfs; summed -> exact global stats (not cached:
+        # fuzzy/regex expansions are query-dependent)
+        partials = ray.get([a.parsed_stat_terms.remote(queries)
+                            for a in self._one_actor_per_shard()])
+        dfs: dict = {}
+        for p in partials:
+            for t, df in p.items():
+                dfs[t] = dfs.get(t, 0) + df
+        # round 2: chunk the batch across each shard's replicas
+        refs = []
+        for group in self._shard_groups():
+            r = len(group)
+            for j, actor in enumerate(group):
+                chunk = queries[j::r]
+                if chunk:
+                    refs.append(actor.search_parsed_chunk.remote(
+                        chunk, None, dfs, False))
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:
+            return _empty_result()
+        return _merge_topk_table(pa.concat_tables(tables), queries)
 
     def _search_batch_sharded(self, queries) -> pa.Table:
         import ray

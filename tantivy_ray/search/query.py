@@ -417,7 +417,7 @@ def phrase_match_counts(reader: SegmentReader, terms: Sequence[str],
                                 assume_unique=True)
     if len(common) == 0:
         return common, np.empty(0, np.uint32)
-    if slop == 0 and len(terms) < 64:
+    if slop == 0 and len(terms) < 64 and hasattr(reader, "positions_flat"):
         return _phrase_exact_vectorized(reader, terms, post, common)
     pos_lists = [reader.positions(t) for t in terms]
     if any(p is None for p in pos_lists):
@@ -784,6 +784,63 @@ def collect_docset(readers: Sequence[SegmentReader], query: Query,
                             doc_freq_of)
         docs, _ = ev.evaluate(query)
         out.extend((r.segment_ord, int(d)) for d in docs)
+    return out
+
+
+def collect_stat_terms(q: Query, reader: SegmentReader) -> set:
+    """Effective terms whose GLOBAL doc_freq a distributed (sharded)
+    evaluation of ``q`` needs — fuzzy/regex/prefix expansions resolved
+    against THIS reader's vocabulary (the union over shards equals the
+    full-vocab expansion, and a term missing from a shard's dict has no
+    postings there, so per-shard evaluation with summed dfs is exactly
+    the single-searcher result).  Const-score queries (ranges, term
+    sets, exists/all) need no stats."""
+    out: set = set()
+
+    def eff(t: str, field) -> str:
+        return t if not field else f"{field}\x00{t}"
+
+    def walk(q: Query) -> None:
+        if isinstance(q, TermQuery):
+            out.add(eff(q.term, q.field))
+        elif isinstance(q, PhraseQuery):
+            out.update(eff(t, q.field) for t in q.terms)
+        elif isinstance(q, FuzzyTermQuery):
+            out.update(expand_fuzzy(reader, q))
+        elif isinstance(q, RegexQuery):
+            out.update(expand_regex(reader, q.pattern))
+        elif isinstance(q, PhrasePrefixQuery):
+            import bisect
+
+            out.update(q.terms[:-1])
+            sorted_terms = reader.terms()
+            prefix = q.terms[-1]
+            lo = bisect.bisect_left(sorted_terms, prefix)
+            n = 0
+            while (lo < len(sorted_terms) and n < q.max_expansions
+                   and sorted_terms[lo].startswith(prefix)):
+                out.add(sorted_terms[lo])
+                lo += 1
+                n += 1
+        elif isinstance(q, RegexPhraseQuery):
+            for pat in q.patterns:
+                if re.escape(pat) == pat:
+                    out.add(pat)
+                else:
+                    out.update(expand_regex(reader, pat)
+                               [: q.max_expansions])
+        elif isinstance(q, BooleanQuery):
+            for c in (*q.must, *q.should, *q.must_not):
+                walk(c)
+        elif isinstance(q, (BoostQuery, ConstScoreQuery,
+                            FastFieldFilterQuery)):
+            walk(q.query)
+        elif isinstance(q, DisjunctionMaxQuery):
+            for c in q.queries:
+                walk(c)
+        # Range/TermSet/All/Empty/Exists: const score, no stats
+
+    walk(q)
     return out
 
 

@@ -483,3 +483,38 @@ def test_searcher_pool_sharded_replicas_all_used(tmp_path, ray_session):
     assert gp[["query_id", "rank", "segment_ord", "doc_id"]].equals(
         wp[["query_id", "rank", "segment_ord", "doc_id"]])
     assert (gp["score"].to_numpy() == wp["score"].to_numpy()).all()
+
+
+def test_searcher_pool_sharded_parsed_batch(tmp_path, ray_session):
+    """Sharded parsed batches: per-shard vocab expansion + summed global
+    stats == the full-index replicated pool, f32/rank-identical — incl.
+    fuzzy and phrase queries whose expansions/positions live on
+    different shards."""
+    from tantivy_ray.search import SearcherPool
+
+    idx = build_test_index(tmp_path, CORPUS, record_positions=True)
+    queries = [
+        (0, "quick dog", 5),
+        (1, '"quick brown fox"', 5),
+        (2, "quick~1", 8),
+        (3, "+fox -dog", 5),
+        (4, "qu.ck.*", 5),
+        (5, "nosuchterm", 3),
+    ]
+    full = SearcherPool(idx, size=2, num_cpus=0.25)
+    full.warm()
+    try:
+        want = full.search_parsed_batch(queries)
+    finally:
+        full.close()
+    pool = SearcherPool(idx, size=6, num_shards=3, num_cpus=0.25)
+    pool.warm()
+    try:
+        got = pool.search_parsed_batch(queries)
+    finally:
+        pool.close()
+    wp = want.to_pandas().reset_index(drop=True)
+    gp = got.to_pandas().reset_index(drop=True)
+    assert gp[["query_id", "rank", "segment_ord", "doc_id"]].equals(
+        wp[["query_id", "rank", "segment_ord", "doc_id"]])
+    assert (gp["score"].to_numpy() == wp["score"].to_numpy()).all()
