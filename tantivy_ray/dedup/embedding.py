@@ -289,8 +289,26 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
                             type=pa.float64()),
         })
 
+    def block_dedup(tbl: pa.Table) -> pa.Table:
+        """Per-block pair dedup after sort(id_a, id_b): the same pair
+        found in up to n_tables buckets collapses distributed; only
+        pairs straddling a block boundary can survive duplicated (the
+        tiny driver-side drop_duplicates below catches those)."""
+        n = tbl.num_rows
+        if n <= 1:
+            return tbl
+        a = tbl.column("id_a").to_numpy()
+        b = tbl.column("id_b").to_numpy()
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return tbl.filter(pa.array(keep))
+
     pdf = (bucketed.sort("bucket")
            .map_batches(bucket_pairs_block, batch_size=None,
+                        batch_format="pyarrow", **remote_args())
+           .sort(["id_a", "id_b"])
+           .map_batches(block_dedup, batch_size=None,
                         batch_format="pyarrow", **remote_args())
            .to_pandas().drop_duplicates(ignore_index=True))
     rows = [(int(a), int(b), float(c))
