@@ -286,9 +286,8 @@ class SearcherPool:
         tables = [t for t in ray.get(refs) if t.num_rows]
         if not tables:
             return _empty_result()
-        pdf = pa.concat_tables(tables).to_pandas()
-        pdf = pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return pa.concat_tables(tables).sort_by(
+            [("query_id", "ascending"), ("rank", "ascending")])
 
     def search_parsed_batch(
         self, queries: Sequence[Tuple[int, str, int]],
@@ -317,9 +316,8 @@ class SearcherPool:
         tables = [t for t in ray.get(refs) if t.num_rows]
         if not tables:
             return _empty_result()
-        pdf = pa.concat_tables(tables).to_pandas()
-        pdf = pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return pa.concat_tables(tables).sort_by(
+            [("query_id", "ascending"), ("rank", "ascending")])
 
     def _search_parsed_batch_sharded(self, queries) -> pa.Table:
         import ray
