@@ -9,11 +9,11 @@
   (/root/reference/src/tokenizer/stop_word_filter/).
 - ``AlphaNumOnlyFilter``: keeps only tokens made entirely of alphanumerics
   (/root/reference/src/tokenizer/alphanum_only.rs:29).
-- ``AsciiFoldingFilter``: folds diacritics to ASCII. The reference ships a
-  Lucene-derived explicit table (~4k lines); here we use NFKD decomposition +
-  combining-mark strip + a small extras map — equivalent for Latin diacritics,
-  documented divergence for exotic ligature mappings
-  (/root/reference/src/tokenizer/ascii_folding_filter.rs:9).
+- ``AsciiFoldingFilter``: folds diacritics/ligatures to ASCII using the
+  full Lucene ``ASCIIFoldingFilter`` character table (1242 mappings,
+  exact parity with /root/reference/src/tokenizer/ascii_folding_filter.rs:72;
+  table data in ``ascii_folding_data.py``). Characters outside the table
+  pass through unchanged, matching the reference.
 - ``Stemmer``: Snowball (Porter2) English, implemented in ``stemmer.py``
   (/root/reference/src/tokenizer/stemmer.rs:12-31).
 - ``SplitCompoundWords``: dictionary-driven compound splitting
@@ -26,9 +26,9 @@ tokenizer), matching the reference's composition order.
 
 from __future__ import annotations
 
-import unicodedata
 from typing import List, Optional, Sequence, Set
 
+from .ascii_folding_data import FOLD_TABLE
 from .stemmer import snowball_english_stem
 from .tokenizers import Token
 
@@ -112,28 +112,12 @@ class AlphaNumOnlyFilter:
         return [t for t in tokens if t.text.isalnum()]
 
 
-_ASCII_FOLD_EXTRAS = {
-    "æ": "ae", "Æ": "AE", "ø": "o", "Ø": "O", "œ": "oe", "Œ": "OE",
-    "ß": "ss", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D", "þ": "th",
-    "Þ": "TH", "ł": "l", "Ł": "L", "ı": "i",
-}
-
-
 def ascii_fold(text: str) -> str:
+    """Fold to ASCII per the Lucene table; non-table chars pass through
+    (reference ascii_folding_filter.rs:52 ``to_ascii``)."""
     if text.isascii():
         return text
-    out = []
-    for ch in text:
-        if ch.isascii():
-            out.append(ch)
-            continue
-        if ch in _ASCII_FOLD_EXTRAS:
-            out.append(_ASCII_FOLD_EXTRAS[ch])
-            continue
-        decomp = unicodedata.normalize("NFKD", ch)
-        folded = "".join(c for c in decomp if not unicodedata.combining(c))
-        out.append(folded if folded.isascii() else ch)
-    return "".join(out)
+    return text.translate(FOLD_TABLE)
 
 
 class AsciiFoldingFilter:
@@ -145,9 +129,9 @@ class AsciiFoldingFilter:
 
 class Stemmer:
     """Snowball stemmer (reference src/tokenizer/stemmer.rs:63-120 via
-    rust-stemmers).  Implemented natively: English (Porter2), German,
-    French, Spanish, Russian — the pure-Python ports of the published
-    Snowball algorithms; the reference's remaining 13 languages raise."""
+    rust-stemmers).  Implemented natively for all 18 reference languages
+    (English here as Porter2; the rest in ``snowball_langs.py``) from the
+    published algorithm descriptions; unknown languages raise."""
 
     def __init__(self, language: str = "english"):
         if language in ("english", "en"):
