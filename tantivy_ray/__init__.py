@@ -30,8 +30,10 @@ B = 0.75
 # Ray worker processes resolve this package by module path, not by the
 # driver's sys.path mutations. Exporting PYTHONPATH at import time (before
 # any ray.init in our own entry points) makes workers able to unpickle our
-# task classes regardless of the driver's cwd; distributed stages also pass
-# an explicit runtime_env (see utils.worker_runtime_env).
+# task classes regardless of the driver's cwd; when a foreign driver inits
+# Ray before importing us, stages fall back to an explicit runtime_env
+# (see utils.remote_args — probed once per session, because an env_vars
+# runtime_env forfeits the warm default worker pool).
 import os as _os
 
 _PKG_PARENT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))

@@ -147,9 +147,7 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
             return []
         return _block_pairs_task(ids_a, m_a, ids_b, m_b, same, threshold)
 
-    from ..utils import worker_runtime_env
-
-    env = {"runtime_env": worker_runtime_env()}
+    env = remote_args()
     block_refs = [ref
                   for bundle in blocks.iter_internal_ref_bundles()
                   for ref in bundle.block_refs]

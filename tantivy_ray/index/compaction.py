@@ -135,8 +135,8 @@ def compact(index_dir: str, policy: Optional[LogMergePolicy] = None) -> Dict:
     refs = []
     assignments = []
     for i, g in enumerate(groups):
-        refs.append(_merge_one.options(
-            runtime_env=remote_args()["runtime_env"]).remote(g, next_ord + i))
+        refs.append(
+            _merge_one.options(**remote_args()).remote(g, next_ord + i))
         assignments.append((g, next_ord + i))
     new_metas = ray.get(refs)
 

@@ -73,7 +73,7 @@ def delete_by_term(index_dir: str, term: str) -> Dict[int, int]:
         return seg_ord, add_tombstones(seg_path, p[0])
 
     refs = [
-        _one.options(runtime_env=remote_args()["runtime_env"]).remote(
+        _one.options(**remote_args()).remote(
             s["segment_ord"])
         for s in manifest.segments
     ]

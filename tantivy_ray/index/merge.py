@@ -481,10 +481,8 @@ def merge_segments(
 
     all_ords = [s["segment_ord"] for s in manifest.segments]
     chunks = [all_ords[i::8] for i in range(8) if all_ords[i::8]]
-    from ..utils import worker_runtime_env
-
-    _ray.get([copy_fieldnorms.options(
-        runtime_env=worker_runtime_env()).remote(c) for c in chunks])
+    _ray.get([copy_fieldnorms.options(**remote_args()).remote(c)
+              for c in chunks])
 
     seg_meta = []
     base = 0

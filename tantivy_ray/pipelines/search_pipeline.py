@@ -233,7 +233,7 @@ def global_doc_freqs(index_dir: str, terms: Sequence[str],
 
     chunks = [ords[i::8] for i in range(8) if ords[i::8]]
     partials = ray.get([
-        df_of.options(runtime_env=remote_args()["runtime_env"]).remote(c)
+        df_of.options(**remote_args()).remote(c)
         for c in chunks
     ])
     total: Dict[str, int] = {t: 0 for t in terms}

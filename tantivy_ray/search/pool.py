@@ -220,7 +220,7 @@ class SearcherPool:
 
         self._config = (index_dir, size, use_wand, num_cpus, num_shards)
         host = ray.remote(_SearcherHost).options(
-            num_cpus=num_cpus, runtime_env=remote_args()["runtime_env"])
+            num_cpus=num_cpus, **remote_args())
         self.num_shards = max(1, num_shards)
         if self.num_shards == 1:
             self.shards: List[Optional[List[int]]] = [None]
