@@ -44,6 +44,12 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def _bit_widths(values: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length over a uint32 array (exact: v+1 <= 2^32 is
+    float64-exact, log2 of it never lands epsilon-under an integer)."""
+    return np.ceil(np.log2(values.astype(np.float64) + 1.0)).astype(np.uint8)
+
+
 def bitpack(values: np.ndarray, width: int) -> bytes:
     """Pack uint32 values into `width`-bit little-endian-bit-order codes."""
     if width == 0 or len(values) == 0:
@@ -102,32 +108,62 @@ def encode_term_postings(
         tfs.astype(np.float32) + local_tf_cache[fids]
     )
 
-    last_doc = np.empty(nb, dtype=np.uint32)
-    doc_bw = np.empty(nb, dtype=np.uint8)
-    tf_bw = np.empty(nb, dtype=np.uint8)
+    # Per-block stats, vectorized: full 128-doc blocks reshape to
+    # (n_full, 128); the (<128) tail block is handled separately.  A full
+    # block's packed payload is 16*width bytes (128*w bits, always whole
+    # bytes), so all full blocks sharing a width pack in ONE bitpack call
+    # and slice apart — the mirror of decode_all's width grouping.
+    B = COMPRESSION_BLOCK_SIZE
+    n_full = n // B
+    last_doc = docs[np.minimum(np.arange(1, nb + 1) * B, n) - 1]
+    doc_bw = np.zeros(nb, dtype=np.uint8)
+    tf_bw = np.zeros(nb, dtype=np.uint8)
     wand_fid = np.empty(nb, dtype=np.uint8)
     wand_tf = np.empty(nb, dtype=np.uint32)
-    data_off = np.empty(nb, dtype=np.uint32)
 
-    chunks: List[bytes] = []
-    off = 0
-    for b in range(nb):
-        s = b * COMPRESSION_BLOCK_SIZE
-        e = min(s + COMPRESSION_BLOCK_SIZE, n)
-        d = deltas[s:e]
-        t = tfs[s:e]
-        dbw = bit_width(int(d.max()))
-        tbw = bit_width(int(t.max()))
-        last_doc[b] = docs[e - 1]
-        doc_bw[b] = dbw
-        tf_bw[b] = tbw
-        best = s + int(np.argmax(tf_factor[s:e]))
-        wand_fid[b] = fids[best]
-        wand_tf[b] = tfs[best]
-        data_off[b] = off
-        blk = bitpack(d, dbw) + bitpack(t, tbw)
-        chunks.append(blk)
-        off += len(blk)
+    if n_full > 0:
+        dv = deltas[:n_full * B].reshape(n_full, B)
+        tv = tfs[:n_full * B].reshape(n_full, B)
+        doc_bw[:n_full] = _bit_widths(dv.max(axis=1))
+        tf_bw[:n_full] = _bit_widths(tv.max(axis=1))
+        best = (np.argmax(tf_factor[:n_full * B].reshape(n_full, B), axis=1)
+                + np.arange(n_full) * B)
+        wand_fid[:n_full] = fids[best]
+        wand_tf[:n_full] = tfs[best]
+    if n_full < nb:
+        s = n_full * B
+        doc_bw[-1] = bit_width(int(deltas[s:].max()))
+        tf_bw[-1] = bit_width(int(tfs[s:].max()))
+        best = s + int(np.argmax(tf_factor[s:]))
+        wand_fid[-1] = fids[best]
+        wand_tf[-1] = tfs[best]
+
+    doc_payload: List[Optional[bytes]] = [None] * nb
+    tf_payload: List[Optional[bytes]] = [None] * nb
+    for arr_bw, view, payload in (
+        (doc_bw, deltas, doc_payload),
+        (tf_bw, tfs, tf_payload),
+    ):
+        for w in np.unique(arr_bw[:n_full]):
+            w = int(w)
+            idx = np.flatnonzero(arr_bw[:n_full] == w)
+            if w == 0:
+                for i in idx:
+                    payload[i] = b""
+                continue
+            packed = bitpack(
+                view[:n_full * B].reshape(n_full, B)[idx].ravel(), w)
+            sz = 16 * w  # packed bytes per full block at this width
+            for j, i in enumerate(idx):
+                payload[i] = packed[j * sz:(j + 1) * sz]
+        if n_full < nb:
+            payload[-1] = bitpack(view[n_full * B:], int(arr_bw[-1]))
+
+    chunks: List[bytes] = [
+        doc_payload[b] + tf_payload[b] for b in range(nb)]
+    lens = np.fromiter((len(c) for c in chunks), dtype=np.uint32, count=nb)
+    data_off = np.zeros(nb, dtype=np.uint32)
+    np.cumsum(lens[:-1], out=data_off[1:])
 
     header = np.array([n, nb], dtype=np.uint32).tobytes()
     skip = (

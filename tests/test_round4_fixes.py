@@ -347,3 +347,34 @@ class TestCrossSegmentQueryDispatch:
                         lt.append(len(inter))
                 assert list(vd) == ld, terms
                 assert list(vt) == lt, terms
+
+
+class TestRemoteArgsProbe:
+    """remote_args() must drop the env_vars runtime_env whenever default-pool
+    workers can already import tantivy_ray (the env forfeits warm worker
+    reuse — every Dataset stage cold-starts ~num_cpus processes otherwise),
+    and keep it when they cannot."""
+
+    def test_fast_path_in_session(self, ray_session):
+        # the test session imported tantivy_ray before ray.init, so
+        # workers inherit PYTHONPATH and the probe must pick the warm pool
+        from tantivy_ray.utils import remote_args
+
+        assert remote_args() == {}
+
+    def test_conservative_when_uninitialized(self, monkeypatch):
+        import ray
+
+        from tantivy_ray import utils
+
+        monkeypatch.setattr(ray, "is_initialized", lambda: False)
+        args = utils.remote_args()
+        assert "runtime_env" in args
+        pp = args["runtime_env"]["env_vars"]["PYTHONPATH"]
+        assert utils.package_parent_dir() in pp.split(__import__("os").pathsep)
+
+    def test_probe_cached_per_job(self, ray_session):
+        from tantivy_ray import utils
+
+        utils.remote_args()
+        assert any(utils._PROBE_CACHE.values())
