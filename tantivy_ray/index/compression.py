@@ -279,3 +279,4 @@ class TermPostingsReader:
             docs[n_full * B:] = tdocs
             tfs[n_full * B:] = ttfs
         return docs, tfs
+
