@@ -665,6 +665,7 @@ FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
 # ----------------------------------------------------------------------
 
 from .agg_queries import AGG_ORACLE_SQL, AGG_QUERIES  # noqa: E402
+from .corpus_prep import SQL_CORPUS_PREP, q_corpus_prep  # noqa: E402
 from .dedup_queries import DEDUP_ORACLE_SQL, DEDUP_QUERIES  # noqa: E402
 from .more_queries import MORE_ORACLE_SQL, MORE_QUERIES  # noqa: E402
 
@@ -679,6 +680,7 @@ QUERIES: Dict = {
     "topk_bm25_sharded": q_topk_bm25_sharded,
     "topk_bm25_and_wand": q_topk_bm25_and_wand,
     "dedup_exact": q_dedup_exact,
+    "corpus_prep": q_corpus_prep,
     "fingerprint": q_fingerprint,
     "quality": q_quality,
     "histogram_len": q_histogram_len,
@@ -702,6 +704,7 @@ ORACLE_SQL: Dict[str, str] = {
     "topk_bm25_sharded": _sql_topk_bm25(),
     "topk_bm25_and_wand": _sql_topk_bm25(AND_QUERIES),
     "dedup_exact": SQL_DEDUP_EXACT,
+    "corpus_prep": SQL_CORPUS_PREP,
     "fingerprint": SQL_FINGERPRINT,
     "quality": SQL_QUALITY,
     "histogram_len": SQL_HISTOGRAM_LEN,

@@ -378,3 +378,53 @@ class TestRemoteArgsProbe:
 
         utils.remote_args()
         assert any(utils._PROBE_CACHE.values())
+
+
+class TestCorpusPrep:
+    """corpus_prep chains quality features -> exact dedup keep-first ->
+    filter -> per-lang stats in one streaming flow; the packed arg-min
+    key must resolve lang keep-first when duplicate texts disagree."""
+
+    def test_duplicate_lang_disagreement(self, ray_session, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tantivy_ray.pipelines.corpus_prep import (
+            SQL_CORPUS_PREP, q_corpus_prep)
+
+        # same rich text (passes both filters) duplicated under three
+        # langs; keep-first = doc_id 7 -> lang "de" must win
+        rich = ("the quick brown fox jumped over lazy dogs while "
+                "seventeen astronomers measured parallax angles during "
+                "long winter evenings near observatory domes recording "
+                "spectra calibrating instruments cataloguing variable "
+                "stars publishing quarterly bulletins for provincial "
+                "academies")
+        junk = "the the the of of and and a a in in"  # stop-heavy: filtered
+        tiny = "two words"                             # short: filtered
+        rows = pd.DataFrame({
+            "doc_id": [7, 12, 30, 41, 52],
+            "text": [rich, rich, rich, junk, tiny],
+            "lang": ["de", "en", "fr", "en", "en"],
+            "n_chars": [len(rich), len(rich), len(rich),
+                        len(junk), len(tiny)],
+        })
+        pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                       str(tmp_path / "documents.parquet"))
+        got = q_corpus_prep(str(tmp_path)).to_pandas()
+        assert list(got["lang"]) == ["de"]
+        assert int(got["n_docs"][0]) == 1
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+        want = con.execute(SQL_CORPUS_PREP).df()
+        assert list(want["lang"]) == ["de"]
+        assert got[["lang", "n_docs", "total_tokens", "total_chars"]] \
+            .astype({"n_docs": "int64", "total_tokens": "int64",
+                     "total_chars": "int64"}) \
+            .equals(want.astype({"n_docs": "int64", "total_tokens": "int64",
+                                 "total_chars": "int64"}))
