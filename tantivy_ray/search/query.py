@@ -107,9 +107,10 @@ class EmptyQuery(Query):
 
 @dataclass
 class RangeQuery(Query):
-    lower: Optional[str] = None      # inclusive
-    upper: Optional[str] = None      # exclusive
+    lower: Optional[str] = None      # inclusive (unless include_lower=False)
+    upper: Optional[str] = None      # exclusive (unless include_upper=True)
     include_upper: bool = False
+    include_lower: bool = True
     field: Optional[str] = None      # None = primary text field
     # fast-field scan variant (reference range_query_fastfield.rs): when
     # the same value also lives in a columnar fast field, the evaluator
@@ -311,11 +312,18 @@ def expand_range(reader: SegmentReader, q: RangeQuery) -> List[str]:
         lo_key = prefix + (q.lower if q.lower is not None else "")
         hi_key = (prefix + q.upper) if q.upper is not None else (
             q.field + "\x01")  # just past every prefixed term
-        lo = bisect.bisect_left(terms, lo_key)
+        lo = (bisect.bisect_left(terms, lo_key)
+              if q.include_lower or q.lower is None
+              else bisect.bisect_right(terms, lo_key))
         hi = (bisect.bisect_right(terms, hi_key) if q.include_upper
               and q.upper is not None else bisect.bisect_left(terms, hi_key))
         return [t for t in terms[lo:hi] if t.startswith(prefix)]
-    lo = bisect.bisect_left(terms, q.lower) if q.lower is not None else 0
+    if q.lower is None:
+        lo = 0
+    elif q.include_lower:
+        lo = bisect.bisect_left(terms, q.lower)
+    else:
+        lo = bisect.bisect_right(terms, q.lower)
     if q.upper is None:
         hi = len(terms)
     elif q.include_upper:
@@ -564,7 +572,8 @@ class QueryEvaluator:
         with np.errstate(invalid="ignore"):
             mask = np.ones(len(vals), dtype=bool)
             if q.raw_lower is not None:
-                mask &= vals >= q.raw_lower
+                mask &= (vals >= q.raw_lower if q.include_lower
+                         else vals > q.raw_lower)
             if q.raw_upper is not None:
                 mask &= (vals <= q.raw_upper if q.include_upper
                          else vals < q.raw_upper)

@@ -1,25 +1,43 @@
-"""Query parser — text → Query AST.
+"""Query parser — text → Query AST, in the reference's two-phase shape.
 
-Re-expression of the reference's query-grammar surface
-(/root/reference/query-grammar/src/user_input_ast.rs:11-30 UserInputLeaf =
-Literal/All/Range/Set/Exists/Regex; src/query/query_parser/query_parser.rs):
+Phase 1 (grammar): lex + parse to a RAW user-input AST with occur tags,
+using the reference's exact binary-expression occur-composition
+(/root/reference/query-grammar/src/query_grammar.rs
+``aggregate_infallible_expressions``): a query is a flat sequence of
+(operator-before, occur, atom) elements; AND appends to the current
+group with default occur Must, OR starts a new Should group, implicit
+elements start a new group whose default occur derives from the NEXT
+operator, and a MustNot leaf in a Should context synthesizes
+``?(-x)``.  This reproduces the reference's documented edge semantics,
+e.g. ``a AND b aaa`` → ``(?(+a +b) *aaa)``, ``-a OR b`` → ``(?(-a) ?b)``.
+
+Phase 2 (resolution, the reference's query_parser.rs): raw words run
+through the index analyzer; ``None`` occur resolves to the default
+(Should, or Must after ``set_conjunction_by_default()`` —
+query_parser.rs:288); an all-negative query is rejected
+(``AllButQueryForbidden``, query_parser.rs:422) by the strict ``parse``
+and rescued by ``parse_lenient`` with a Should(AllQuery) clause, like
+the reference's lenient path (``make_non_negative``).
+
+Surface (user_input_ast.rs:11-30 Literal/All/Range/Set/Exists/Regex):
 
     hello world             → disjunction (default) of term queries
-    "hello world"           → PhraseQuery
-    "hello world"~2         → PhraseQuery with slop
-    +must -mustnot opt      → BooleanQuery occurs
-    a AND b / a OR b / NOT  → boolean operators
-    term^2.5                → BoostQuery
+    "hello world"           → PhraseQuery          "…"~2 → slop
+    +must -mustnot opt      → occur prefixes       NOT x → unary (-x)
+    a AND b / a OR b        → boolean operators (reference precedence)
+    term^2.5 / (a b)^2      → BoostQuery
     fuzz~1                  → FuzzyTermQuery (distance)
-    text:term               → field prefix (single text field: validated)
-    [a TO b] / {a TO b}     → RangeQuery (inclusive / exclusive bounds)
+    text:term               → field prefix (validated)
+    [a TO b] / {a TO b}     → RangeQuery (bounds incl. / excl.)
+    >a >=a <a <=a           → elastic-style half-open ranges
     IN [a b c]              → TermSetQuery
     /regex/                 → RegexQuery
     *                       → AllQuery
 
-``set_conjunction_by_default()`` switches bare-token combination to AND
-(reference query_parser.rs:288).  Query text tokens run through the index
-analyzer, like the reference's parser.
+Nested pure-negation subclauses (``a AND NOT b`` → ``(+a +(-b))``)
+keep the reference's scorer semantics: a clause with only MustNot
+children matches NOTHING (boolean_weight.rs — EmptyScorer), so
+``a AND NOT b`` matches no documents; write ``a -b`` for exclusion.
 """
 
 from __future__ import annotations
@@ -48,6 +66,7 @@ _TOKEN_RE = re.compile(
   | (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}])
   | (?P<set>IN\s*\[[^\]]*\])
   | (?P<regex>/[^/]+/)
+  | (?P<cmp>(>=|<=|>|<)\s*[^\s()]+)
   | (?P<lparen>\()
   | (?P<rparen>\))
   | (?P<and>AND\b)
@@ -57,6 +76,22 @@ _TOKEN_RE = re.compile(
     """,
     re.VERBOSE,
 )
+
+# occur tags on raw-AST clause children; None = unset (reference "*")
+MUST, SHOULD, MUST_NOT = "+", "?", "-"
+
+# raw AST nodes:
+#   ("clause", [(occur|None, node), ...])
+#   ("boost", node, factor)
+#   ("leaf", kind, payload)  with kinds word/phrase/range/set/regex/all
+
+
+def _clause(items):
+    return ("clause", items)
+
+
+def _unary_not(node):
+    return _clause([(MUST_NOT, node)])
 
 
 class QueryParser:
@@ -71,140 +106,242 @@ class QueryParser:
         self.conjunction = True
         return self
 
-    # --- public ---
+    # ------------------------------------------------------------------
+    # public
+    # ------------------------------------------------------------------
     def parse(self, text: str) -> Query:
-        tokens = self._lex(text)
-        q, pos = self._parse_expr(tokens, 0)
-        return q if q is not None else EmptyQuery()
+        """Strict parse — raises on unknown fields and on all-negative
+        queries (the reference's AllButQueryForbidden)."""
+        q, errors = self._parse_impl(text, lenient=False)
+        return q
 
-    # --- lexing ---
+    def parse_lenient(self, text: str) -> Tuple[Query, List[str]]:
+        """Lenient parse — rescues an all-negative query with a
+        Should(AllQuery) clause (reference ``make_non_negative``) and
+        returns (query, error messages)."""
+        return self._parse_impl(text, lenient=True)
+
+    def parse_ast(self, text: str):
+        """Phase-1 only: the raw occur-tagged AST (pre-analysis), the
+        analog of the reference's UserInputAst (used by grammar tests)."""
+        toks = self._lex(text)
+        ast, pos = self._parse_sequence(toks, 0)
+        return ast
+
+    def _parse_impl(self, text: str, lenient: bool):
+        ast = self.parse_ast(text)
+        q = self._materialize(ast)
+        if q is None:
+            return EmptyQuery(), []
+        errors: List[str] = []
+        if not isinstance(q, EmptyQuery) and _all_negative(q):
+            if not lenient:
+                raise ValueError(
+                    "all-negative query matches nothing "
+                    "(reference AllButQueryForbidden)")
+            errors.append("AllButQueryForbidden")
+            q = _make_non_negative(q)
+        return q, errors
+
+    # ------------------------------------------------------------------
+    # lexing
+    # ------------------------------------------------------------------
     def _lex(self, text: str) -> List[Tuple[str, str]]:
         out = []
         for m in _TOKEN_RE.finditer(text):
             kind = m.lastgroup
-            if kind is None:
+            if kind is None:  # pragma: no cover
                 kind = [k for k, v in m.groupdict().items() if v][0]
             out.append((kind, m.group(0)))
         return out
 
-    # --- parsing (precedence: OR < AND < unary) ---
-    def _parse_expr(self, toks, pos):
-        left, pos = self._parse_and(toks, pos)
-        items = [left]
-        while pos < len(toks) and toks[pos][0] == "or":
-            right, pos2 = self._parse_and(toks, pos + 1)
-            items.append(right)
-            pos = pos2
-        items = [i for i in items if i is not None]
-        if not items:
-            return None, pos
-        if len(items) == 1:
-            return items[0], pos
-        return BooleanQuery(should=items), pos
-
-    def _parse_and(self, toks, pos):
-        left, pos = self._parse_occur_seq(toks, pos)
-        items = [left]
-        while pos < len(toks) and toks[pos][0] == "and":
-            right, pos2 = self._parse_occur_seq(toks, pos + 1)
-            items.append(right)
-            pos = pos2
-        items = [i for i in items if i is not None]
-        if not items:
-            return None, pos
-        if len(items) == 1:
-            return items[0], pos
-        # flatten pure-negation children: "a AND NOT b" → must=[a],
-        # must_not=[b] (a negation-only clause matches nothing on its own)
-        must, must_not = [], []
-        for i in items:
-            if isinstance(i, BooleanQuery) and i.must_not and not i.must \
-                    and not i.should:
-                must_not.extend(i.must_not)
-            else:
-                must.append(i)
-        return BooleanQuery(must=must, must_not=must_not), pos
-
-    def _parse_occur_seq(self, toks, pos):
-        """A run of [+|-]atom tokens combined per occur flags."""
-        must, should, must_not = [], [], []
-        progressed = False
-        while pos < len(toks) and toks[pos][0] not in ("or", "and", "rparen"):
-            kind, raw = toks[pos]
-            occur = "should"
-            if kind == "not":
-                occur = "must_not"
+    # ------------------------------------------------------------------
+    # phase 1: sequence of (binop, occur, atom) → occur-composed clause
+    # ------------------------------------------------------------------
+    def _parse_sequence(self, toks, pos):
+        """Parse until end / rparen, then run the reference's
+        aggregate_infallible_expressions over the element list."""
+        leafs = []  # (binop 'and'/'or'/None, occur|None, node)
+        while pos < len(toks) and toks[pos][0] != "rparen":
+            binop = None
+            if toks[pos][0] in ("and", "or"):
+                binop = toks[pos][0]
                 pos += 1
-                if pos >= len(toks):
+                if pos >= len(toks) or toks[pos][0] == "rparen":
+                    break  # trailing operator: lenient-drop
+            occur = None
+            kind, raw = toks[pos]
+            if kind == "word" and raw in ("+", "-"):
+                occur = MUST if raw == "+" else MUST_NOT
+                pos += 1
+                if pos >= len(toks) or toks[pos][0] == "rparen":
                     break
                 kind, raw = toks[pos]
-            elif kind == "word" and raw.startswith("+"):
-                occur, raw = "must", raw[1:]
+            elif kind == "word" and raw.startswith("+") and len(raw) > 1:
+                occur, raw = MUST, raw[1:]
             elif kind == "word" and raw.startswith("-") and len(raw) > 1:
-                occur, raw = "must_not", raw[1:]
-            q, pos = self._parse_atom(toks, pos, (kind, raw))
-            progressed = True
-            if q is None:
+                occur, raw = MUST_NOT, raw[1:]
+            if kind == "not":
+                pos += 1
+                if pos >= len(toks) or toks[pos][0] == "rparen":
+                    # dangling NOT: reference lenient parses the term "NOT"
+                    leafs.append((binop, occur, ("leaf", "word", "NOT")))
+                    break
+                node, pos = self._parse_atom(toks, pos, toks[pos])
+                if node is not None:
+                    leafs.append((binop, occur, _unary_not(node)))
                 continue
-            {"must": must, "should": should, "must_not": must_not}[occur].append(q)
-        if not progressed:
-            return None, pos
-        if self.conjunction and should and not must and not must_not:
-            must, should = should, []
-        if len(should) == 1 and not must and not must_not:
-            return should[0], pos
-        if len(must) == 1 and not should and not must_not:
-            return must[0], pos
-        if not (must or should or must_not):
-            return None, pos
-        return BooleanQuery(must=must, should=should, must_not=must_not), pos
+            node, pos = self._parse_atom(toks, pos, (kind, raw))
+            if node is not None:
+                leafs.append((binop, occur, node))
+        return _aggregate(leafs), pos
 
-    def _parse_atom(self, toks, pos, tok) -> Tuple[Optional[Query], int]:
+    def _parse_atom(self, toks, pos, tok):
         kind, raw = tok
+        # detached field prefix: "title: >a" / "title: bar"
+        if kind == "word" and raw.endswith(":") and len(raw) > 1 \
+                and pos + 1 < len(toks) \
+                and toks[pos + 1][0] in ("word", "cmp", "range", "quoted"):
+            nkind, nraw = toks[pos + 1]
+            node, pos2 = self._parse_atom(toks, pos + 1, (nkind, nraw))
+            return _attach_field(node, raw[:-1]), pos2
         if kind == "lparen":
-            q, pos = self._parse_expr(toks, pos + 1)
+            node, pos = self._parse_sequence(toks, pos + 1)
             if pos < len(toks) and toks[pos][0] == "rparen":
                 pos += 1
-            return q, pos
+            # group boost: "(a b)^2.5"
+            if pos < len(toks) and toks[pos][0] == "word" \
+                    and re.fullmatch(r"\^\d+(\.\d+)?", toks[pos][1]):
+                node = ("boost", node, float(toks[pos][1][1:]))
+                pos += 1
+            return node, pos
         if kind == "quoted":
             m = re.match(r'"([^"]*)"(~(\d+))?$', raw)
-            body, slop = m.group(1), int(m.group(3) or 0)
-            terms = self._analyze(body)
-            if not terms:
-                return None, pos + 1
-            if len(terms) == 1 and slop == 0:
-                return TermQuery(terms[0]), pos + 1
-            return PhraseQuery(terms, slop), pos + 1
+            return ("leaf", "phrase",
+                    {"body": m.group(1), "slop": int(m.group(3) or 0),
+                     "field": None}), pos + 1
         if kind == "range":
+            inc_lo = raw.startswith("[")
             inc_up = raw.endswith("]")
-            body = raw[1:-1]
-            lo, hi = re.split(r"\s+TO\s+", body)
-            lo = None if lo.strip() in ("*", "") else self._norm(lo.strip())
-            hi = None if hi.strip() in ("*", "") else self._norm(hi.strip())
-            return RangeQuery(lo, hi, include_upper=inc_up), pos + 1
+            lo, hi = re.split(r"\s+TO\s+", raw[1:-1])
+            return ("leaf", "range",
+                    {"lower": lo.strip(), "upper": hi.strip(),
+                     "include_lower": inc_lo, "include_upper": inc_up,
+                     "field": None}), pos + 1
+        if kind == "cmp":
+            m = re.match(r"(>=|<=|>|<)\s*(.*)$", raw)
+            op, val = m.group(1), m.group(2)
+            spec = {"lower": "*", "upper": "*", "include_lower": False,
+                    "include_upper": False, "field": None}
+            if op in (">", ">="):
+                spec["lower"] = val
+                spec["include_lower"] = op == ">="
+            else:
+                spec["upper"] = val
+                spec["include_upper"] = op == "<="
+            return ("leaf", "range", spec), pos + 1
         if kind == "set":
             body = raw[raw.index("[") + 1:-1]
-            terms = [self._norm(w) for w in body.split() if w]
-            return TermSetQuery(terms), pos + 1
+            return ("leaf", "set", [w for w in body.split() if w]), pos + 1
         if kind == "regex":
-            return RegexQuery(raw[1:-1]), pos + 1
+            return ("leaf", "regex", raw[1:-1]), pos + 1
         if kind == "word":
-            return self._parse_word(raw), pos + 1
+            if raw == "*":
+                return ("leaf", "all", None), pos + 1
+            # attached field:cmp range ("age:>5", "weight:<=70")
+            m = re.match(r"^(.+?):(>=|<=|>|<)(.+)$", raw)
+            if m:
+                fieldname, op, val = m.groups()
+                spec = {"lower": "*", "upper": "*", "include_lower": False,
+                        "include_upper": False, "field": fieldname}
+                if op in (">", ">="):
+                    spec["lower"] = val
+                    spec["include_lower"] = op == ">="
+                else:
+                    spec["upper"] = val
+                    spec["include_upper"] = op == "<="
+                return ("leaf", "range", spec), pos + 1
+            # boost suffix lifts to the grammar level ("a^3" → (a)^3;
+            # the reference drops a neutral ^1)
+            m = re.match(r"^(.+)\^(\d+(\.\d+)?)$", raw)
+            if m:
+                boost = float(m.group(2))
+                leaf = ("leaf", "word", m.group(1))
+                return (leaf if boost == 1.0
+                        else ("boost", leaf, boost)), pos + 1
+            return ("leaf", "word", raw), pos + 1
         return None, pos + 1
 
-    def _parse_word(self, raw: str) -> Optional[Query]:
-        if raw == "*":
+    # ------------------------------------------------------------------
+    # phase 2: analysis + materialization to Query objects
+    # ------------------------------------------------------------------
+    def _materialize(self, ast) -> Optional[Query]:
+        tag = ast[0]
+        if tag == "boost":
+            sub = self._materialize(ast[1])
+            return None if sub is None else BoostQuery(sub, ast[2])
+        if tag == "clause":
+            default = MUST if self.conjunction else SHOULD
+            must, should, must_not = [], [], []
+            for occur, child in ast[1]:
+                q = self._materialize(child)
+                if q is None:
+                    continue  # analyzed away: reference trim_ast
+                {MUST: must, SHOULD: should, MUST_NOT: must_not}[
+                    occur or default].append(q)
+            if not (must or should or must_not):
+                return None
+            if len(should) == 1 and not must and not must_not:
+                return should[0]
+            if len(must) == 1 and not should and not must_not:
+                return must[0]
+            return BooleanQuery(must=must, should=should,
+                                must_not=must_not)
+        kind, payload = ast[1], ast[2]
+        if kind == "all":
             return AllQuery()
-        # field prefix: first configured field is primary (unprefixed terms);
-        # others route to field-scoped queries
+        if kind == "regex":
+            return RegexQuery(payload)
+        if kind == "set":
+            return TermSetQuery([self._norm(w) for w in payload])
+        if kind == "range":
+            lo = payload["lower"]
+            hi = payload["upper"]
+            lo = None if lo in ("*", "") else self._norm(lo)
+            hi = None if hi in ("*", "") else self._norm(hi)
+            return RangeQuery(
+                lo, hi,
+                include_upper=payload["include_upper"],
+                include_lower=payload["include_lower"] or lo is None,
+                field=self._scoped(payload.get("field")))
+        if kind == "phrase":
+            terms = self._analyze(payload["body"])
+            slop = payload["slop"]
+            if not terms:
+                return None
+            if len(terms) == 1 and slop == 0:
+                return TermQuery(terms[0],
+                                 field=self._scoped(payload.get("field")))
+            return PhraseQuery(terms, slop,
+                               field=self._scoped(payload.get("field")))
+        if kind == "word":
+            return self._parse_word(payload)
+        return None  # pragma: no cover
+
+    def _scoped(self, fieldname: Optional[str]) -> Optional[str]:
+        if fieldname is None:
+            return None
+        if fieldname not in self.fields:
+            raise ValueError(f"unknown field {fieldname!r}")
+        return None if fieldname == self.fields[0] else fieldname
+
+    def _parse_word(self, raw: str) -> Optional[Query]:
         qfield = None
         if ":" in raw:
             fieldname, rest = raw.split(":", 1)
-            if fieldname not in self.fields:
-                raise ValueError(f"unknown field {fieldname!r}")
-            if fieldname != self.fields[0]:
-                qfield = fieldname
-            raw = rest
+            qfield = self._scoped(fieldname)
+            if fieldname in self.fields:
+                raw = rest
         boost = None
         m = re.match(r"^(.*)\^(\d+(\.\d+)?)$", raw)
         if m:
@@ -234,3 +371,150 @@ class QueryParser:
     def _norm(self, word: str) -> str:
         toks = self._analyze(word)
         return toks[0] if toks else word
+
+
+def _attach_field(node, fieldname: str):
+    if node is None:
+        return None
+    tag = node[0]
+    if tag == "leaf":
+        kind, payload = node[1], node[2]
+        if kind == "word":
+            return ("leaf", "word", f"{fieldname}:{payload}")
+        if kind in ("range", "phrase"):
+            payload = dict(payload)
+            payload["field"] = fieldname
+            return ("leaf", kind, payload)
+    return node  # sets/regex/groups: field scoping not supported there
+
+
+# ---------------------------------------------------------------------------
+# the reference's occur-composition (aggregate_infallible_expressions)
+# ---------------------------------------------------------------------------
+
+def _aggregate(leafs):
+    """query_grammar.rs:938-1040, verbatim semantics."""
+    if not leafs:
+        return _clause([])
+    clauses = []  # list of groups; group = [(occur|None, node)]
+
+    def or_element(occur, node, default):
+        if occur == MUST_NOT and default == SHOULD:
+            # MustNot in an OR context synthesizes ?(-x)
+            return (SHOULD, _unary_not(node))
+        return (occur or default, node)
+
+    for (prev_op, occur, node), (next_op, _, _) in zip(leafs, leafs[1:]):
+        if prev_op == "and":
+            item = (occur or MUST, node)
+            if clauses:
+                clauses[-1].append(item)
+            else:
+                clauses.append([item])
+        elif prev_op == "or":
+            default = MUST if next_op == "and" else SHOULD
+            clauses.append([or_element(occur, node, default)])
+        else:
+            if next_op == "and":
+                default = MUST
+            elif next_op == "or":
+                default = SHOULD
+            else:
+                default = None
+            clauses.append([or_element(occur, node, default)])
+
+    last_op, last_occur, last_node = leafs[-1]
+    if last_op == "and":
+        item = (last_occur or MUST, last_node)
+        if clauses:
+            clauses[-1].append(item)
+        else:
+            clauses.append([item])
+    elif last_op == "or":
+        if last_occur == MUST_NOT:
+            clauses.append([(SHOULD, _unary_not(last_node))])
+        else:
+            clauses.append([(last_occur or SHOULD, last_node)])
+    else:
+        clauses.append([(last_occur, last_node)])
+
+    if len(clauses) == 1:
+        group = clauses[0]
+        if len(group) == 1 and group[0][0] != MUST_NOT:
+            return group[0][1]
+        return _clause(group)
+    final = []
+    for group in clauses:
+        if len(group) == 1:
+            final.append(group[0])
+        else:
+            final.append((SHOULD, _clause(group)))
+    return _clause(final)
+
+
+def ast_repr(ast) -> str:
+    """Render a raw AST in the reference's Debug format — "(?a ?(+b +c))",
+    occur None → '*', boost → "(a)^3" — for the ported grammar tests."""
+    tag = ast[0]
+    if tag == "clause":
+        items = ast[1]
+        if not items:
+            return "<emptyclause>"
+        return "(" + " ".join(
+            (occur or "*") + ast_repr(sub) for occur, sub in items) + ")"
+    if tag == "boost":
+        f = ast[2]
+        fs = str(int(f)) if f == int(f) else str(f)
+        return f"({ast_repr(ast[1])})^{fs}"
+    kind, payload = ast[1], ast[2]
+    if kind == "word":
+        if ":" in payload:
+            fieldname, rest = payload.split(":", 1)
+            return f'"{fieldname}":{rest}'
+        return payload
+    if kind == "phrase":
+        body = f'"{payload["body"]}"'
+        if payload.get("field"):
+            body = f'"{payload["field"]}":{body}'
+        if payload["slop"]:
+            body += f'~{payload["slop"]}'
+        return body
+    if kind == "range":
+        lo_b = "[" if payload["include_lower"] else "{"
+        hi_b = "]" if payload["include_upper"] else "}"
+        body = (f'{lo_b}"{payload["lower"]}" TO "{payload["upper"]}"{hi_b}')
+        if payload.get("field"):
+            body = f'"{payload["field"]}":{body}'
+        return body
+    if kind == "all":
+        return "*"
+    if kind == "set":
+        return "IN [" + " ".join(payload) + "]"
+    if kind == "regex":
+        return f"/{payload}/"
+    return "?"  # pragma: no cover
+
+
+def _all_negative(q: Query) -> bool:
+    """query_parser.rs:221 — True when every path is MustNot."""
+    if isinstance(q, BoostQuery):
+        return _all_negative(q.query)
+    if isinstance(q, BooleanQuery):
+        pos = list(q.must) + list(q.should)
+        if not pos and not q.must_not:
+            return False
+        return all(_all_negative(c) for c in pos) if pos or q.must_not \
+            else False
+    return False
+
+
+def _make_non_negative(q: Query) -> Query:
+    """query_parser.rs:232 — rescue an all-negative query by adding a
+    Should(AllQuery) clause."""
+    if isinstance(q, BoostQuery):
+        return BoostQuery(_make_non_negative(q.query), q.boost)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(must=list(q.must),
+                            should=list(q.should) + [AllQuery()],
+                            must_not=list(q.must_not))
+    return q  # pragma: no cover

