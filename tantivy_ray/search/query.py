@@ -93,6 +93,7 @@ class DisjunctionMaxQuery(Query):
 @dataclass
 class TermSetQuery(Query):
     terms: List[str]
+    field: Optional[str] = None
 
 
 @dataclass
@@ -167,11 +168,12 @@ class FuzzyTermQuery(Query):
 @dataclass
 class RegexQuery(Query):
     pattern: str
+    field: Optional[str] = None
 
 
 @dataclass
 class ExistsQuery(Query):
-    pass
+    field: Optional[str] = None
 
 
 @dataclass
@@ -621,7 +623,9 @@ class QueryEvaluator:
             return docs, np.ones(len(docs), dtype=np.float32)
 
         if isinstance(q, ExistsQuery):
-            docs = np.flatnonzero(fids > 0).astype(np.int64)
+            efids = (self.reader.fieldnorm_ids_for(q.field)
+                     if q.field else fids)
+            docs = np.flatnonzero(efids > 0).astype(np.int64)
             return docs, np.ones(len(docs), dtype=np.float32)
 
         if isinstance(q, BoostQuery):
@@ -634,10 +638,26 @@ class QueryEvaluator:
                                  dtype=np.float32)
 
         if isinstance(q, TermSetQuery):
-            return self._union_terms_const(q.terms, 1.0)
+            return self._union_terms_const(
+                [self._eff(t, q.field) for t in q.terms], 1.0)
 
         if isinstance(q, RangeQuery):
             return self._eval_range(q)
+
+        if isinstance(q, RegexQuery) and q.field:
+            # field-scoped regex: the field's terms are the contiguous
+            # "field\x00…" dict slice; match the pattern on suffixes
+            import bisect
+
+            terms = self.reader.terms()
+            prefix = q.field + "\x00"
+            lo = bisect.bisect_left(terms, prefix)
+            hi = bisect.bisect_left(terms, q.field + "\x01")
+            rx = re.compile(q.pattern)
+            matched = [t[len(prefix):] for t in terms[lo:hi]
+                       if rx.fullmatch(t[len(prefix):])]
+            return self.evaluate(BooleanQuery(
+                should=[TermQuery(t, field=q.field) for t in matched]))
 
         if isinstance(q, (FuzzyTermQuery, RegexQuery)):
             terms = (expand_fuzzy(self.reader, q)

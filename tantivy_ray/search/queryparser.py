@@ -51,7 +51,9 @@ from .query import (
     BooleanQuery,
     BoostQuery,
     EmptyQuery,
+    ExistsQuery,
     FuzzyTermQuery,
+    PhrasePrefixQuery,
     PhraseQuery,
     Query,
     RangeQuery,
@@ -62,7 +64,9 @@ from .query import (
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<quoted>"[^"]*"(~\d+)?)
+    (?P<fieldquoted>[^\s():]+:"[^"]*"(~\d+|\*)?)
+  | (?P<fieldrange>[^\s():]+:[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}])
+  | (?P<quoted>"[^"]*"(~\d+|\*)?)
   | (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}])
   | (?P<set>IN\s*\[[^\]]*\])
   | (?P<regex>/[^/]+/)
@@ -198,10 +202,16 @@ class QueryParser:
 
     def _parse_atom(self, toks, pos, tok):
         kind, raw = tok
+        if kind in ("fieldquoted", "fieldrange"):
+            fieldname, rest = raw.split(":", 1)
+            inner_kind = "quoted" if kind == "fieldquoted" else "range"
+            node, pos = self._parse_atom(toks, pos, (inner_kind, rest))
+            return _attach_field(node, fieldname), pos
         # detached field prefix: "title: >a" / "title: bar"
         if kind == "word" and raw.endswith(":") and len(raw) > 1 \
                 and pos + 1 < len(toks) \
-                and toks[pos + 1][0] in ("word", "cmp", "range", "quoted"):
+                and toks[pos + 1][0] in ("word", "cmp", "range", "quoted",
+                                         "set", "regex", "lparen"):
             nkind, nraw = toks[pos + 1]
             node, pos2 = self._parse_atom(toks, pos + 1, (nkind, nraw))
             return _attach_field(node, raw[:-1]), pos2
@@ -216,9 +226,10 @@ class QueryParser:
                 pos += 1
             return node, pos
         if kind == "quoted":
-            m = re.match(r'"([^"]*)"(~(\d+))?$', raw)
+            m = re.match(r'"([^"]*)"(~(\d+)|(\*))?$', raw)
             return ("leaf", "phrase",
                     {"body": m.group(1), "slop": int(m.group(3) or 0),
+                     "prefix": m.group(4) is not None,
                      "field": None}), pos + 1
         if kind == "range":
             inc_lo = raw.startswith("[")
@@ -242,12 +253,19 @@ class QueryParser:
             return ("leaf", "range", spec), pos + 1
         if kind == "set":
             body = raw[raw.index("[") + 1:-1]
-            return ("leaf", "set", [w for w in body.split() if w]), pos + 1
+            return ("leaf", "set",
+                    {"terms": [w for w in body.split() if w],
+                     "field": None}), pos + 1
         if kind == "regex":
-            return ("leaf", "regex", raw[1:-1]), pos + 1
+            return ("leaf", "regex",
+                    {"pattern": raw[1:-1], "field": None}), pos + 1
         if kind == "word":
             if raw == "*":
                 return ("leaf", "all", None), pos + 1
+            # field:* → ExistsQuery (reference exists_infallible)
+            m = re.match(r"^(.+?):\*$", raw)
+            if m:
+                return ("leaf", "exists", m.group(1)), pos + 1
             # attached field:cmp range ("age:>5", "weight:<=70")
             m = re.match(r"^(.+?):(>=|<=|>|<)(.+)$", raw)
             if m:
@@ -266,7 +284,9 @@ class QueryParser:
             m = re.match(r"^(.+)\^(\d+(\.\d+)?)$", raw)
             if m:
                 boost = float(m.group(2))
-                leaf = ("leaf", "word", m.group(1))
+                base = m.group(1)
+                leaf = (("leaf", "all", None) if base == "*"
+                        else ("leaf", "word", base))
                 return (leaf if boost == 1.0
                         else ("boost", leaf, boost)), pos + 1
             return ("leaf", "word", raw), pos + 1
@@ -300,10 +320,14 @@ class QueryParser:
         kind, payload = ast[1], ast[2]
         if kind == "all":
             return AllQuery()
+        if kind == "exists":
+            return ExistsQuery(field=self._scoped(payload))
         if kind == "regex":
-            return RegexQuery(payload)
+            return RegexQuery(payload["pattern"],
+                              field=self._scoped(payload.get("field")))
         if kind == "set":
-            return TermSetQuery([self._norm(w) for w in payload])
+            return TermSetQuery([self._norm(w) for w in payload["terms"]],
+                                field=self._scoped(payload.get("field")))
         if kind == "range":
             lo = payload["lower"]
             hi = payload["upper"]
@@ -319,6 +343,13 @@ class QueryParser:
             slop = payload["slop"]
             if not terms:
                 return None
+            if payload.get("prefix"):
+                if payload.get("field") is not None \
+                        and self._scoped(payload["field"]) is not None:
+                    raise ValueError(
+                        "field-scoped phrase-prefix queries are not "
+                        "supported (primary field only)")
+                return PhrasePrefixQuery(terms)
             if len(terms) == 1 and slop == 0:
                 return TermQuery(terms[0],
                                  field=self._scoped(payload.get("field")))
@@ -374,18 +405,27 @@ class QueryParser:
 
 
 def _attach_field(node, fieldname: str):
+    """Distribute a field prefix over an atom — including groups, the
+    reference's ``foo:(A OR B)`` → ``(?"foo":A ?"foo":B)``."""
     if node is None:
         return None
     tag = node[0]
-    if tag == "leaf":
-        kind, payload = node[1], node[2]
-        if kind == "word":
-            return ("leaf", "word", f"{fieldname}:{payload}")
-        if kind in ("range", "phrase"):
-            payload = dict(payload)
-            payload["field"] = fieldname
-            return ("leaf", kind, payload)
-    return node  # sets/regex/groups: field scoping not supported there
+    if tag == "clause":
+        return ("clause", [(occur, _attach_field(sub, fieldname))
+                           for occur, sub in node[1]])
+    if tag == "boost":
+        return ("boost", _attach_field(node[1], fieldname), node[2])
+    kind, payload = node[1], node[2]
+    if kind == "word":
+        return ("leaf", "word", f"{fieldname}:{payload}")
+    if kind == "all":
+        # "field: *" → exists (reference exists_infallible)
+        return ("leaf", "exists", fieldname)
+    if kind in ("range", "phrase", "set", "regex"):
+        payload = dict(payload)
+        payload["field"] = fieldname
+        return ("leaf", kind, payload)
+    return node
 
 
 # ---------------------------------------------------------------------------
@@ -478,6 +518,8 @@ def ast_repr(ast) -> str:
             body = f'"{payload["field"]}":{body}'
         if payload["slop"]:
             body += f'~{payload["slop"]}'
+        elif payload.get("prefix"):
+            body += "*"
         return body
     if kind == "range":
         lo_b = "[" if payload["include_lower"] else "{"
@@ -488,10 +530,18 @@ def ast_repr(ast) -> str:
         return body
     if kind == "all":
         return "*"
+    if kind == "exists":
+        return f'$exists("{payload}")'
     if kind == "set":
-        return "IN [" + " ".join(payload) + "]"
+        body = "IN [" + " ".join(f'"{w}"' for w in payload["terms"]) + "]"
+        if payload.get("field"):
+            body = f'"{payload["field"]}": {body}'
+        return body
     if kind == "regex":
-        return f"/{payload}/"
+        body = f'/{payload["pattern"]}/'
+        if payload.get("field"):
+            body = f'"{payload["field"]}":{body}'
+        return body
     return "?"  # pragma: no cover
 
 

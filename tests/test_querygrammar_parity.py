@@ -161,3 +161,136 @@ class TestResolution:
         # reference: single-element clause with non-MustNot occur unwraps
         q = P.parse("+abc")
         assert isinstance(q, TermQuery) and q.term == "abc"
+
+
+SET_EXISTS_GROUP_CASES = [
+    # reference test_parse_test_query_set / _other / exists tests
+    ("abc: IN [a b c]", '"abc": IN ["a" "b" "c"]'),
+    ("abc: IN [1]", '"abc": IN ["1"]'),
+    ("abc: IN []", '"abc": IN []'),
+    ("IN [1 2]", 'IN ["1" "2"]'),
+    ("+(a b) +d", "(+(*a *b) +d)"),
+    ("(+a +b) d", "(*(+a +b) *d)"),
+    ("+abc:toto", '"abc":toto'),
+    ("(+abc:toto -titi)", '(+"abc":toto -titi)'),
+    ("-abc:toto", '(-"abc":toto)'),
+    ("abc:a b", '(*"abc":a *b)'),
+    ('abc:"a b"', '"abc":"a b"'),
+    ("foo:[1 TO 5]", '"foo":["1" TO "5"]'),
+    ("foo:(*A)", '"foo":*A'),
+    ("*A", "*A"),
+    ("(*A)", "*A"),
+    ("foo:(A OR B)", '(?"foo":A ?"foo":B)'),
+    ("foo:(A* OR B*)", '(?"foo":A* ?"foo":B*)'),
+    ("foo:(*A OR *B)", '(?"foo":*A ?"foo":*B)'),
+    ("foo:(/A.*/)", '"foo":/A.*/'),
+    ("foo:(/A.*/ OR /B.*/)", '(?"foo":/A.*/ ?"foo":/B.*/)'),
+    ("*", "*"),
+    ("(*)", "*"),
+    ("(* )", "*"),
+    ("*^2", "(*)^2"),
+    ("a:*", '$exists("a")'),
+    ("a: *", '$exists("a")'),
+    ("(a:*)", '$exists("a")'),
+    ('"a b"*', '"a b"*'),
+]
+
+
+@pytest.mark.parametrize("query,expected", SET_EXISTS_GROUP_CASES)
+def test_sets_exists_groups(query, expected):
+    assert rast(query) == expected
+
+
+class TestNewLeafResolution:
+    def test_exists_materializes(self):
+        from tantivy_ray.search.query import ExistsQuery
+
+        q = QueryParser(default_fields=["text", "title"]).parse("title:*")
+        assert isinstance(q, ExistsQuery) and q.field == "title"
+
+    def test_field_set_materializes(self):
+        from tantivy_ray.search.query import TermSetQuery
+
+        p = QueryParser(default_fields=["text", "title"])
+        q = p.parse("title: IN [Fox Dog]")
+        assert isinstance(q, TermSetQuery)
+        assert q.field == "title" and q.terms == ["fox", "dog"]
+
+    def test_phrase_prefix_materializes(self):
+        from tantivy_ray.search.query import PhrasePrefixQuery
+
+        q = P.parse('"quick bro"*')
+        assert isinstance(q, PhrasePrefixQuery)
+        assert q.terms == ["quick", "bro"]
+
+    def test_field_group_distributes(self):
+        p = QueryParser(default_fields=["text", "title"])
+        q = p.parse("title:(fox OR dog)")
+        assert isinstance(q, BooleanQuery)
+        assert [(t.term, t.field) for t in q.should] == \
+            [("fox", "title"), ("dog", "title")]
+
+    def test_field_regex_materializes(self):
+        from tantivy_ray.search.query import RegexQuery
+
+        p = QueryParser(default_fields=["text", "title"])
+        q = p.parse("title:(/fo./)")
+        assert isinstance(q, RegexQuery)
+        assert q.pattern == "fo." and q.field == "title"
+
+
+class TestFieldScopedEval:
+    """End-to-end evaluation of the new field-scoped leaves over a real
+    multifield index (exists, sets, distributed groups, regex, half-open
+    ranges, phrase prefix)."""
+
+    @pytest.fixture(scope="class")
+    def searcher(self, ray_session, tmp_path_factory):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tantivy_ray.index.build import build_index
+        from tantivy_ray.search import IndexSearcher
+
+        d = tmp_path_factory.mktemp("qg_eval")
+        rows = pd.DataFrame({
+            "url": [f"u{i}" for i in range(6)],
+            "text": ["the quick fox", "a lazy dog", "fox and dog",
+                     "just words here", "dogged pursuit", "foxtrot dance"],
+            "title": ["alpha fox", "beta", "gamma dog", None,
+                      "delta fox", ""],
+        })
+        pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                       str(d / "docs.parquet"))
+        ix = str(d / "ix")
+        build_index(str(d / "docs.parquet"), ix, text_col="text",
+                    extra_text_fields={"title": "default"},
+                    record_positions=True)
+        return IndexSearcher(ix)
+
+    def _docs(self, s, q):
+        from tantivy_ray.search.queryparser import QueryParser
+
+        p = QueryParser(default_fields=["text", "title"])
+        return sorted(int(h[2]) for h in s.search_query(p.parse(q), 10))
+
+    def test_exists(self, searcher):
+        # docs 3 (null title) and 5 (empty title) have no title tokens
+        assert self._docs(searcher, "title:*") == [0, 1, 2, 4]
+
+    def test_field_set(self, searcher):
+        assert self._docs(searcher, "title: IN [fox dog]") == [0, 2, 4]
+
+    def test_field_group(self, searcher):
+        assert self._docs(searcher, "title:(alpha OR gamma)") == [0, 2]
+
+    def test_field_regex(self, searcher):
+        assert self._docs(searcher, "title:(/fo./)") == [0, 4]
+
+    def test_half_open_range(self, searcher):
+        # strictly-greater-than "fox": excludes the term itself
+        assert self._docs(searcher, ">fox") == [0, 1, 3, 4, 5]
+
+    def test_phrase_prefix(self, searcher):
+        assert self._docs(searcher, '"quick fo"*') == [0]
