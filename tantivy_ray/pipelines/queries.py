@@ -319,6 +319,37 @@ def q_topk_bm25_sharded(sf_dir: str) -> pa.Table:
 
 
 
+def q_topk_bm25_parsed(sf_dir: str) -> pa.Table:
+    """Same result as topk_bm25 but every query arrives as a raw STRING
+    through the full QueryParser grammar (" ".join for OR, " AND " for
+    conjunctions) served by a warm SearcherPool — the parser's occur
+    composition under the driver's correctness gate."""
+    from ..search import IndexSearcher
+    from ..search.pool import SearcherPool
+
+    idx = build_docs_index(sf_dir)
+    parsed = [
+        (qid, (" AND " if mode == "and" else " ").join(terms), k)
+        for qid, terms, mode, k in DOC_QUERIES
+    ]
+    pool = SearcherPool(idx, size=2)
+    pool.warm()
+    try:
+        tbl = pool.search_parsed_batch(parsed)
+        pdf = tbl.to_pandas()
+        s = IndexSearcher(idx)
+        pdf["doc_id"] = [int(v) for v in s.resolve_doc_keys(
+            list(zip(pdf.segment_ord, pdf.doc_id)))]
+    finally:
+        pool.close()
+    pdf = pdf[["query_id", "rank", "doc_id"]].sort_values(
+        ["query_id", "rank"])
+    pdf = pdf.astype({"query_id": "int64", "rank": "int64",
+                      "doc_id": "int64"})
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # 6. exact dedup (hash-partition keep-first — SURVEY §2.7)
 # ----------------------------------------------------------------------
@@ -679,6 +710,7 @@ QUERIES: Dict = {
     "topk_bm25_merged": q_topk_bm25_merged,
     "topk_bm25_sharded": q_topk_bm25_sharded,
     "topk_bm25_and_wand": q_topk_bm25_and_wand,
+    "topk_bm25_parsed": q_topk_bm25_parsed,
     "dedup_exact": q_dedup_exact,
     "corpus_prep": q_corpus_prep,
     "fingerprint": q_fingerprint,
@@ -703,6 +735,7 @@ ORACLE_SQL: Dict[str, str] = {
     "topk_bm25_merged": _sql_topk_bm25(),
     "topk_bm25_sharded": _sql_topk_bm25(),
     "topk_bm25_and_wand": _sql_topk_bm25(AND_QUERIES),
+    "topk_bm25_parsed": _sql_topk_bm25(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "corpus_prep": SQL_CORPUS_PREP,
     "fingerprint": SQL_FINGERPRINT,
