@@ -837,7 +837,19 @@ def collect_stat_terms(q: Query, reader: SegmentReader) -> set:
         elif isinstance(q, FuzzyTermQuery):
             out.update(expand_fuzzy(reader, q))
         elif isinstance(q, RegexQuery):
-            out.update(expand_regex(reader, q.pattern))
+            if q.field:
+                # mirror the evaluator's field-sliced expansion
+                import bisect
+
+                terms = reader.terms()
+                prefix = q.field + "\x00"
+                lo = bisect.bisect_left(terms, prefix)
+                hi = bisect.bisect_left(terms, q.field + "\x01")
+                rx = re.compile(q.pattern)
+                out.update(t for t in terms[lo:hi]
+                           if rx.fullmatch(t[len(prefix):]))
+            else:
+                out.update(expand_regex(reader, q.pattern))
         elif isinstance(q, PhrasePrefixQuery):
             import bisect
 

@@ -294,3 +294,14 @@ class TestFieldScopedEval:
 
     def test_phrase_prefix(self, searcher):
         assert self._docs(searcher, '"quick fo"*') == [0]
+
+    def test_field_regex_stat_terms_match_eval(self, searcher):
+        # sharded parsed batches collect global dfs via collect_stat_terms;
+        # a field-scoped regex must expand over the SAME field slice the
+        # evaluator scores with
+        from tantivy_ray.search.query import RegexQuery, collect_stat_terms
+
+        q = RegexQuery("fo.", field="title")
+        for rdr in searcher.readers:
+            terms = collect_stat_terms(q, rdr)
+            assert all(t.startswith("title\x00") for t in terms)
