@@ -350,14 +350,33 @@ class QueryParser:
                         "field-scoped phrase-prefix queries are not "
                         "supported (primary field only)")
                 return PhrasePrefixQuery(terms)
+            if payload.get("field") is None:
+                # unprefixed literal → one disjunction over the default
+                # fields (reference query_parser.rs doc: "Barack Obama"
+                # with defaults body+title → (body:t OR title:t) per term)
+                if len(terms) == 1 and slop == 0:
+                    return self._distribute(
+                        lambda f: TermQuery(terms[0], field=f))
+                return self._distribute(
+                    lambda f: PhraseQuery(terms, slop, field=f))
             if len(terms) == 1 and slop == 0:
                 return TermQuery(terms[0],
-                                 field=self._scoped(payload.get("field")))
+                                 field=self._scoped(payload["field"]))
             return PhraseQuery(terms, slop,
-                               field=self._scoped(payload.get("field")))
+                               field=self._scoped(payload["field"]))
         if kind == "word":
             return self._parse_word(payload)
         return None  # pragma: no cover
+
+    def _distribute(self, build) -> Query:
+        """Unprefixed literals search EVERY default field (reference
+        query_parser.rs: a term without a field becomes a disjunction
+        over the default fields); with one default field this is just
+        the primary-field query."""
+        if len(self.fields) == 1:
+            return build(None)
+        subs = [build(None)] + [build(f) for f in self.fields[1:]]
+        return BooleanQuery(should=subs)
 
     def _scoped(self, fieldname: Optional[str]) -> Optional[str]:
         if fieldname is None:
@@ -368,9 +387,11 @@ class QueryParser:
 
     def _parse_word(self, raw: str) -> Optional[Query]:
         qfield = None
+        explicit_field = False
         if ":" in raw:
             fieldname, rest = raw.split(":", 1)
             qfield = self._scoped(fieldname)
+            explicit_field = True
             if fieldname in self.fields:
                 raw = rest
         boost = None
@@ -386,12 +407,16 @@ class QueryParser:
         if not terms:
             return None
         if fuzzy is not None:
+            # FuzzyTermQuery carries no field — primary only (documented)
             q: Query = FuzzyTermQuery(terms[0], distance=fuzzy)
+        elif explicit_field:
+            q = (TermQuery(terms[0], field=qfield) if len(terms) == 1
+                 else PhraseQuery(terms, field=qfield))
         elif len(terms) == 1:
-            q = TermQuery(terms[0], field=qfield)
+            q = self._distribute(lambda f: TermQuery(terms[0], field=f))
         else:
             # a single word that analyzes to several tokens → phrase
-            q = PhraseQuery(terms, field=qfield)
+            q = self._distribute(lambda f: PhraseQuery(terms, field=f))
         if boost is not None:
             q = BoostQuery(q, boost)
         return q

@@ -305,3 +305,20 @@ class TestFieldScopedEval:
         for rdr in searcher.readers:
             terms = collect_stat_terms(q, rdr)
             assert all(t.startswith("title\x00") for t in terms)
+
+    def test_unprefixed_term_searches_all_default_fields(self, searcher):
+        # reference query_parser.rs doc: with defaults [body, title] an
+        # unprefixed term becomes (body:t OR title:t) — doc 4's "delta"
+        # appears only in its title, doc 5's "dance" only in its text
+        assert self._docs(searcher, "delta") == [4]
+        assert self._docs(searcher, "dance") == [5]
+        from tantivy_ray.search.query import BooleanQuery, TermQuery
+        from tantivy_ray.search.queryparser import QueryParser
+
+        q = QueryParser(default_fields=["text", "title"]).parse("fox")
+        assert isinstance(q, BooleanQuery)
+        assert [(c.term, c.field) for c in q.should] == \
+            [("fox", None), ("fox", "title")]
+        # single default field: plain primary TermQuery, as before
+        q1 = QueryParser().parse("fox")
+        assert isinstance(q1, TermQuery)
