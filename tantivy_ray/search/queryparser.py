@@ -67,6 +67,7 @@ _TOKEN_RE = re.compile(
     (?P<fieldquoted>[^\s():]+:"[^"]*"(~\d+|\*)?)
   | (?P<fieldrange>[^\s():]+:[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}])
   | (?P<quoted>"[^"]*"(~\d+|\*)?)
+  | (?P<squoted>'[^']*'(~\d+|\*)?)
   | (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}])
   | (?P<set>IN\s*\[[^\]]*\])
   | (?P<regex>/[^/]+/)
@@ -225,11 +226,13 @@ class QueryParser:
                 node = ("boost", node, float(toks[pos][1][1:]))
                 pos += 1
             return node, pos
-        if kind == "quoted":
-            m = re.match(r'"([^"]*)"(~(\d+)|(\*))?$', raw)
+        if kind in ("quoted", "squoted"):
+            d = '"' if kind == "quoted" else "'"
+            m = re.match(rf"{d}([^{d}]*){d}(~(\d+)|(\*))?$", raw)
             return ("leaf", "phrase",
                     {"body": m.group(1), "slop": int(m.group(3) or 0),
                      "prefix": m.group(4) is not None,
+                     "delimiter": d,
                      "field": None}), pos + 1
         if kind == "range":
             inc_lo = raw.startswith("[")
@@ -538,7 +541,8 @@ def ast_repr(ast) -> str:
             return f'"{fieldname}":{rest}'
         return payload
     if kind == "phrase":
-        body = f'"{payload["body"]}"'
+        d = payload.get("delimiter", '"')
+        body = f'{d}{payload["body"]}{d}'
         if payload.get("field"):
             body = f'"{payload["field"]}":{body}'
         if payload["slop"]:

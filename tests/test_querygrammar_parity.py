@@ -61,6 +61,7 @@ OTHER_CASES = [
     ("a^1", "a"),
     ("www-form-encoded", "www-form-encoded"),
     ('"www-form-encoded"', '"www-form-encoded"'),
+    ("'www-form-encoded'", "'www-form-encoded'"),
     ("mr james bo?d", "(*mr *james *bo?d)"),
     ("mr james bo*", "(*mr *james *bo*)"),
 ]
