@@ -323,3 +323,49 @@ class TestFieldScopedEval:
         # single default field: plain primary TermQuery, as before
         q1 = QueryParser().parse("fox")
         assert isinstance(q1, TermQuery)
+
+
+class TestParserFuzz:
+    def test_parse_lenient_total(self):
+        """The rewritten parser must be total: any input either parses
+        to a Query or raises ValueError (unknown field / all-negative) —
+        never an internal error."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tantivy_ray.search.query import Query
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)),
+            max_size=60))
+        def run(text):
+            try:
+                q, errs = P.parse_lenient(text)
+            except ValueError:
+                return
+            assert isinstance(q, Query)
+
+        run()
+
+    def test_parse_grammar_soup(self):
+        soup = ['AND', 'OR', 'NOT', '+', '-', '(', ')', '"a b', 'a"',
+                '[x TO', 'TO y]', 'IN [', '/re', '^2', '~1', ':', '*',
+                'f:', '>=', '"q w"*', "'s t'", 'a:*']
+        import itertools
+        from tantivy_ray.search.query import Query
+
+        for combo in itertools.permutations(soup[:7], 3):
+            text = " ".join(combo)
+            try:
+                q, _ = P.parse_lenient(text)
+            except ValueError:
+                continue
+            assert isinstance(q, Query)
+        for frag in soup:
+            try:
+                q, _ = P.parse_lenient(frag)
+            except ValueError:
+                continue
+            assert isinstance(q, Query)
