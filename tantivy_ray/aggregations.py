@@ -270,7 +270,29 @@ def _top_hits_merge(spec: Dict, a, b):
     return ("tophits", rows[:size])
 
 
+def _null_mask(col: np.ndarray) -> np.ndarray:
+    """True where a column value is missing (None / NaN / NaT)."""
+    if col.dtype == object or str(col.dtype).startswith(("datetime", "<M8")):
+        import pandas as pd
+
+        return np.asarray(pd.isnull(col))
+    if col.dtype.kind == "f":
+        return np.isnan(col)
+    return np.zeros(len(col), dtype=bool)
+
+
 def _metric_partial(kind: str, spec: Dict, values: np.ndarray):
+    # ES/reference `missing` parameter (metric/*.rs `pub missing`):
+    # substitute for absent values; default skips them
+    miss = spec.get("missing")
+    null = _null_mask(values)
+    if null.any():
+        if miss is not None:
+            values = np.array(
+                [miss if m else v for v, m in zip(values, null)],
+                dtype=object) if values.dtype == object else                 np.where(null, float(miss), values)
+        else:
+            values = values[~null]
     if kind == "cardinality":
         h = HyperLogLog(spec.get("precision", 12))
         h.add_values(values.tolist())
@@ -367,6 +389,17 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
         # bucket aggs: compute bucket key per row
         col = batch[body["field"]]
         if kind in ("terms", "histogram", "date_histogram"):
+            null = _null_mask(col)
+            if null.any():
+                miss = body.get("missing")
+                if miss is not None:
+                    # reference term_agg `missing` key: absent values
+                    # bucket under the given key
+                    keyed_fill = col.copy()
+                    keyed_fill[null] = miss
+                    col = keyed_fill
+                else:
+                    sel = sel & ~null  # ES default: skip docs w/o field
             if kind == "terms":
                 keyed = col
             elif kind == "date_histogram" and body.get("calendar_interval"):
@@ -586,6 +619,10 @@ def finalize(aggs: Dict[str, Dict], partial: Dict) -> Dict:
             meta = p[3] if len(p) > 3 else {}
             if kind == "terms":
                 size = body.get("size", 10)
+                min_dc = body.get("min_doc_count", 1)
+                if min_dc > 1:
+                    items = [kv for kv in items
+                             if kv[1]["doc_count"] >= min_dc]
                 order = body.get("order")
                 if order:
                     # custom order (reference term_agg CustomOrder):

@@ -342,3 +342,67 @@ class TestTermsCustomOrder:
         res = run_local(aggs, split_batches(data, 3))["t"]["buckets"]
         assert [b["key"] for b in res] == ["y", "z", "x"]
         assert [b["m"]["value"] for b in res] == [9.0, 5.0, 1.0]
+
+
+class TestMissingAndMinDocCount:
+    """Reference agg params: `missing` (term_agg/mod.rs:271 and every
+    metric's `pub missing`) and terms `min_doc_count` (mod.rs:306)."""
+
+    def _run(self, aggs, batch):
+        import numpy as np
+
+        from tantivy_ray.aggregations import (compute_partial, finalize,
+                                              merge_partials)
+        half = {k: v[:2] for k, v in batch.items()}
+        rest = {k: v[2:] for k, v in batch.items()}
+        p = merge_partials(aggs, compute_partial(aggs, half),
+                           compute_partial(aggs, rest))
+        return finalize(aggs, p)
+
+    def test_terms_missing_key(self):
+        import numpy as np
+
+        batch = {"cat": np.array(["a", None, "a", None], dtype=object)}
+        aggs = {"t": {"terms": {"field": "cat", "missing": "N/A"}}}
+        res = self._run(aggs, batch)
+        got = {b["key"]: b["doc_count"] for b in res["t"]["buckets"]}
+        assert got == {"a": 2, "N/A": 2}
+
+    def test_terms_null_dropped_by_default(self):
+        import numpy as np
+
+        batch = {"cat": np.array(["a", None, "b", None], dtype=object)}
+        aggs = {"t": {"terms": {"field": "cat"}}}
+        res = self._run(aggs, batch)
+        got = {b["key"]: b["doc_count"] for b in res["t"]["buckets"]}
+        assert got == {"a": 1, "b": 1}
+
+    def test_metric_missing_substitutes(self):
+        import numpy as np
+
+        batch = {"v": np.array([1.0, np.nan, 3.0, np.nan])}
+        aggs = {"m": {"avg": {"field": "v", "missing": 2.0}}}
+        res = self._run(aggs, batch)
+        assert res["m"]["value"] == 2.0  # (1+2+3+2)/4
+        aggs = {"m": {"avg": {"field": "v"}}}
+        res = self._run(aggs, batch)
+        assert res["m"]["value"] == 2.0  # (1+3)/2 — NaN skipped
+
+    def test_cardinality_missing(self):
+        import numpy as np
+
+        batch = {"u": np.array(["x", None, "y", None], dtype=object)}
+        aggs = {"c": {"cardinality": {"field": "u", "missing": "zzz"}}}
+        res = self._run(aggs, batch)
+        assert res["c"]["value"] == 3
+        aggs = {"c": {"cardinality": {"field": "u"}}}
+        res = self._run(aggs, batch)
+        assert res["c"]["value"] == 2
+
+    def test_terms_min_doc_count(self):
+        import numpy as np
+
+        batch = {"cat": np.array(["a", "a", "b", "c"], dtype=object)}
+        aggs = {"t": {"terms": {"field": "cat", "min_doc_count": 2}}}
+        res = self._run(aggs, batch)
+        assert [b["key"] for b in res["t"]["buckets"]] == ["a"]
