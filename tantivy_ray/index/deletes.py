@@ -87,3 +87,63 @@ def clear_tombstones(index_dir: str) -> None:
                          DELETES_FILE)
         if os.path.exists(p):
             os.remove(p)
+
+
+def delete_by_query(index_dir: str, query) -> Dict[int, int]:
+    """Delete every doc matching `query` (the reference's delete_query,
+    src/indexer/index_writer.rs:698 — evaluated per segment at delete
+    time).  → {segment_ord: total dead in segment}.
+
+    One small Ray task per segment: each evaluates the query against its
+    own segment (the same per-segment evaluator the searcher uses) and
+    unions the matching docs into that segment's tombstones."""
+    import ray
+
+    from ..utils import remote_args
+
+    manifest = load_manifest(index_dir)
+    avg = manifest.average_fieldnorm
+    total_docs = manifest.total_num_docs
+
+    @ray.remote
+    def _one(seg_ord: int) -> tuple:
+        from ..search.query import QueryEvaluator
+
+        seg_path = os.path.join(index_dir, segment_dir_name(seg_ord))
+        r = SegmentReader(seg_path)
+        ev = QueryEvaluator(r, total_num_docs=total_docs,
+                            average_fieldnorm=avg)
+        docs, _ = ev.evaluate(query)
+        if len(docs) == 0:
+            return seg_ord, 0
+        return seg_ord, add_tombstones(seg_path, docs)
+
+    refs = [
+        _one.options(**remote_args()).remote(s["segment_ord"])
+        for s in manifest.segments
+    ]
+    return dict(ray.get(refs))
+
+
+def delete_all_documents(index_dir: str) -> Dict[int, int]:
+    """Tombstone every live doc (reference delete_all_documents,
+    index_writer.rs:522 — the index serves empty until a merge/compaction
+    physically drops the segments)."""
+    import ray
+
+    from ..utils import remote_args
+
+    manifest = load_manifest(index_dir)
+
+    @ray.remote
+    def _one(seg_ord: int, num_docs: int) -> tuple:
+        seg_path = os.path.join(index_dir, segment_dir_name(seg_ord))
+        write_tombstones(seg_path, np.arange(num_docs, dtype=np.uint32))
+        return seg_ord, num_docs
+
+    refs = [
+        _one.options(**remote_args()).remote(
+            s["segment_ord"], s["num_docs"])
+        for s in manifest.segments
+    ]
+    return dict(ray.get(refs))

@@ -50,7 +50,7 @@ class IndexWriter:
         self.fast_fields = fast_fields
         os.makedirs(index_dir, exist_ok=True)
         self._buffer: List[Dict] = []
-        self._pending_deletes: List[str] = []
+        self._pending_deletes: List[tuple] = []
         done = completed_segment_ords(index_dir)
         self._next_ord = max(done) + 1 if done else 0
         # monotonic opstamps (reference index_writer.rs: every queued op
@@ -92,7 +92,21 @@ class IndexWriter:
 
     def delete_by_term(self, term: str) -> int:
         self._opstamp += 1
-        self._pending_deletes.append(term)
+        self._pending_deletes.append(("term", term))
+        return self._opstamp
+
+    def delete_by_query(self, query) -> int:
+        """Queue a delete-by-query op (reference delete_query,
+        index_writer.rs:698); applied at commit like delete_by_term."""
+        self._opstamp += 1
+        self._pending_deletes.append(("query", query))
+        return self._opstamp
+
+    def delete_all_documents(self) -> int:
+        """Queue deletion of every document (reference
+        delete_all_documents, index_writer.rs:522)."""
+        self._opstamp += 1
+        self._pending_deletes.append(("all", None))
         return self._opstamp
 
     def rollback(self) -> int:
@@ -144,8 +158,17 @@ class IndexWriter:
         # a resumed writer would silently skip them.  This order is safe —
         # a crash after the deletes but before the stamp just re-applies
         # them on resume (delete-by-term is idempotent).
-        for term in self._pending_deletes:
-            _delete_by_term(self.index_dir, term)
+        for op, arg in self._pending_deletes:
+            if op == "term":
+                _delete_by_term(self.index_dir, arg)
+            elif op == "query":
+                from ..index.deletes import delete_by_query
+
+                delete_by_query(self.index_dir, arg)
+            else:
+                from ..index.deletes import delete_all_documents
+
+                delete_all_documents(self.index_dir)
         self._pending_deletes.clear()
         # stamp the manifest with the last durable opstamp (atomic: the
         # manifest rewrite below replaces the file written above)

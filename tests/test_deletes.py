@@ -86,3 +86,75 @@ class TestDeleteByTerm:
         assert n_deleted > 0
         assert len(s2.search_query(AllQuery(), 10_000)) == n_all - n_deleted
         assert s2.search_query(TermQuery("dup"), 10) == []
+
+
+class TestDeleteByQueryAndAll:
+    """Reference index_writer.rs:698 delete_query / :522
+    delete_all_documents, re-expressed as per-segment Ray tasks."""
+
+    @pytest.fixture()
+    def small_ix(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tantivy_ray.index.build import build_index
+
+        rows = pd.DataFrame({
+            "url": [f"u{i}" for i in range(8)],
+            "text": ["red fox", "blue dog", "red dog", "green bird",
+                     "red bird", "blue fox", "green dog", "red wolf"],
+        })
+        pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                       str(tmp_path / "d.parquet"))
+        ix = str(tmp_path / "ix")
+        build_index(str(tmp_path / "d.parquet"), ix, text_col="text",
+                    docs_per_segment=3)
+        return ix
+
+    def test_delete_by_query(self, small_ix):
+        from tantivy_ray.index.deletes import delete_by_query
+        from tantivy_ray.search import IndexSearcher
+        from tantivy_ray.search.query import BooleanQuery, TermQuery
+
+        # delete docs containing red AND (dog or wolf): u2, u7
+        q = BooleanQuery(must=[TermQuery("red")],
+                         should=[TermQuery("dog"), TermQuery("wolf")],
+                         minimum_should_match=1)
+        counts = delete_by_query(small_ix, q)
+        assert sum(counts.values()) == 2
+        s = IndexSearcher(small_ix)
+        hits = s.search(["red"], "or", 10)
+        keys = set(s.resolve_doc_keys([(h[1], h[2]) for h in hits]))
+        assert keys == {"u0", "u4"} or len(hits) == 2
+        # the survivors must not match dog/wolf
+        assert s.search(["wolf"], "or", 10) == []
+        assert len(s.search(["dog"], "or", 10)) == 2  # blue/green dogs
+
+    def test_delete_all(self, small_ix):
+        from tantivy_ray.index.deletes import delete_all_documents
+        from tantivy_ray.search import IndexSearcher
+
+        counts = delete_all_documents(small_ix)
+        assert sum(counts.values()) == 8
+        s = IndexSearcher(small_ix)
+        assert s.search(["red"], "or", 10) == []
+        assert s.search(["dog"], "or", 10) == []
+
+    def test_writer_queued_delete_query(self, ray_session, tmp_path):
+        from tantivy_ray.search.query import TermQuery
+        from tantivy_ray.sources.writer import IndexWriter
+
+        w = IndexWriter(str(tmp_path / "wix"), text_col="text",
+                        id_col="url", docs_per_segment=4)
+        for i, t in enumerate(["ant bee", "bee cat", "cat dog", "dog ant"]):
+            w.add_document({"url": f"u{i}", "text": t})
+        w.commit()
+        w.delete_by_query(TermQuery("cat"))
+        w.commit()
+        from tantivy_ray.search import IndexSearcher
+
+        s = IndexSearcher(str(tmp_path / "wix"))
+        assert s.search(["bee"], "or", 10) != []
+        assert len(s.search(["bee"], "or", 10)) == 1  # u0 only
+        assert s.search(["cat"], "or", 10) == []
