@@ -31,6 +31,19 @@ def main():
     print("docs matching 'old':", len(hits_old), "| 'new':", len(hits_new))
     assert len(hits_old) == 0 and len(hits_new) == 1
 
+    # delete by QUERY (reference IndexWriter::delete_query,
+    # index_writer.rs:698): any Query the searcher can evaluate
+    from tantivy_ray.search.query import BooleanQuery, TermQuery
+
+    w.delete_by_query(BooleanQuery(must=[TermQuery("another"),
+                                         TermQuery("two")]))
+    w.commit()
+    reader.reload()
+    s = reader.searcher()
+    assert len(s.search(["two"], "or", 10)) == 0
+    print("after delete_by_query('another AND two'):",
+          len(s.search(["document"], "or", 10)), "docs left")
+
 
 if __name__ == "__main__":
     main()
