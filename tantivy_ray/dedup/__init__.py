@@ -6,3 +6,4 @@ from .minhash import (  # noqa: F401
 from .simhash import SimHasher, simhash_pairs  # noqa: F401
 from .embedding import embedding_near_dup_pairs  # noqa: F401
 from .exact import exact_dedup  # noqa: F401
+from .allpairs import jaccard_allpairs_prefix  # noqa: F401

@@ -16,8 +16,8 @@ import pyarrow as pa
 
 from ..dedup import (
     embedding_near_dup_pairs,
+    jaccard_allpairs_prefix,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from .sql_common import TOKENS_EXPR
@@ -46,7 +46,12 @@ def q_minhash_lsh_dups(sf_dir: str) -> pa.Table:
 
 
 def q_ngram_jaccard_dups(sf_dir: str) -> pa.Table:
-    return ngram_jaccard_pairs(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
+    """Exact jaccard pairs via the PPJoin-style prefix-filtered all-pairs
+    join (dedup/allpairs.py) — lossless and linear-ish, unlike the
+    brute-force ngram_jaccard_pairs it replaced (kept as the parity
+    reference in tests)."""
+    return jaccard_allpairs_prefix(_docs(sf_dir),
+                                   threshold=JACCARD_THRESHOLD)
 
 
 def q_simhash_dups(sf_dir: str) -> pa.Table:

@@ -443,3 +443,52 @@ class TestVecMatrixAndLshSizing:
         # past the cap: bounded fan-out, recall shortfall is the
         # documented trade (logged at runtime)
         assert _auto_lsh_tables(0.9, 24) == 64
+
+
+class TestPrefixFilterAllPairs:
+    """jaccard_allpairs_prefix must reproduce the brute-force exact pair
+    set — the prefix filter and length filter are LOSSLESS."""
+
+    def _parity(self, ray_session, cap):
+        import ray.data as rd
+
+        from tantivy_ray.dedup import jaccard_allpairs_prefix
+        from tantivy_ray.dedup.minhash import ngram_jaccard_pairs
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"],
+                             override_num_blocks=3)
+        got = jaccard_allpairs_prefix(ds, threshold=0.8,
+                                      broadcast_vocab_cap=cap).to_pandas()
+        ds2 = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                              columns=["doc_id", "text"],
+                              override_num_blocks=3)
+        want = ngram_jaccard_pairs(ds2, threshold=0.8).to_pandas()
+        assert got[["id_a", "id_b"]].values.tolist() == \
+            want[["id_a", "id_b"]].values.tolist()
+        assert (abs(got["jaccard"] - want["jaccard"]) < 1e-9).all()
+        assert len(got) > 0  # the synthetic table plants duplicates
+
+    def test_parity_df_order(self, ray_session):
+        self._parity(ray_session, cap=5_000_000)
+
+    def test_parity_hash_order_fallback(self, ray_session):
+        # vocab cap 0 forces the no-broadcast hash-order path
+        self._parity(ray_session, cap=0)
+
+    def test_lower_threshold_parity(self, ray_session):
+        import ray.data as rd
+
+        from tantivy_ray.dedup import jaccard_allpairs_prefix
+        from tantivy_ray.dedup.minhash import ngram_jaccard_pairs
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"],
+                             override_num_blocks=2)
+        got = jaccard_allpairs_prefix(ds, threshold=0.5).to_pandas()
+        ds2 = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                              columns=["doc_id", "text"],
+                              override_num_blocks=2)
+        want = ngram_jaccard_pairs(ds2, threshold=0.5).to_pandas()
+        assert got[["id_a", "id_b"]].values.tolist() == \
+            want[["id_a", "id_b"]].values.tolist()
