@@ -288,9 +288,17 @@ def _metric_partial(kind: str, spec: Dict, values: np.ndarray):
     null = _null_mask(values)
     if null.any():
         if miss is not None:
-            values = np.array(
-                [miss if m else v for v, m in zip(values, null)],
-                dtype=object) if values.dtype == object else                 np.where(null, float(miss), values)
+            if values.dtype == object:
+                values = np.array(
+                    [miss if m else v for v, m in zip(values, null)],
+                    dtype=object)
+            elif values.dtype.kind == "M":
+                # datetime64: float(miss) cannot combine with NaT — coerce
+                # the substitute to the column's datetime dtype
+                values = np.where(
+                    null, np.datetime64(miss).astype(values.dtype), values)
+            else:
+                values = np.where(null, float(miss), values)
         else:
             values = values[~null]
     if kind == "cardinality":
@@ -389,6 +397,9 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
         # bucket aggs: compute bucket key per row
         col = batch[body["field"]]
         if kind in ("terms", "histogram", "date_histogram"):
+            # bsel is local to THIS agg: null-skipping must not leak into
+            # sibling aggregations sharing the caller's selection mask
+            bsel = sel
             null = _null_mask(col)
             if null.any():
                 miss = body.get("missing")
@@ -399,7 +410,7 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
                     keyed_fill[null] = miss
                     col = keyed_fill
                 else:
-                    sel = sel & ~null  # ES default: skip docs w/o field
+                    bsel = sel & ~null  # ES default: skip docs w/o field
             if kind == "terms":
                 keyed = col
             elif kind == "date_histogram" and body.get("calendar_interval"):
@@ -411,7 +422,7 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
                 keyed = np.floor((vals - off) / interval) * interval + off
             # one pass: unique keys + inverse codes + bincount doc counts
             # (the round-1 per-key boolean mask was O(uniques x rows))
-            sel_idx = np.flatnonzero(sel)
+            sel_idx = np.flatnonzero(bsel)
             uniq, inv = np.unique(keyed[sel_idx], return_inverse=True)
             counts = np.bincount(inv, minlength=len(uniq))
             buckets: Dict[Any, Dict] = {}

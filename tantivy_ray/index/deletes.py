@@ -51,7 +51,18 @@ def add_tombstones(seg_path: str, doc_ids: Iterable[int]) -> int:
     return len(merged)
 
 
-def delete_by_term(index_dir: str, term: str) -> Dict[int, int]:
+def _segments_below(manifest, max_ord: Optional[int]) -> List[Dict]:
+    """Segments the delete op may touch: opstamp ordering means a delete
+    only applies to segments sealed before it was queued (reference
+    index_writer.rs orders ops by opstamp — docs added AFTER a delete
+    survive it).  ``max_ord=None`` means all segments."""
+    if max_ord is None:
+        return list(manifest.segments)
+    return [s for s in manifest.segments if s["segment_ord"] < max_ord]
+
+
+def delete_by_term(index_dir: str, term: str,
+                   max_ord: Optional[int] = None) -> Dict[int, int]:
     """Delete every doc containing `term` (the reference's delete-by-term,
     src/indexer/index_writer.rs delete path). → {segment_ord: n_deleted}.
 
@@ -75,7 +86,7 @@ def delete_by_term(index_dir: str, term: str) -> Dict[int, int]:
     refs = [
         _one.options(**remote_args()).remote(
             s["segment_ord"])
-        for s in manifest.segments
+        for s in _segments_below(manifest, max_ord)
     ]
     return dict(ray.get(refs))
 
@@ -89,7 +100,8 @@ def clear_tombstones(index_dir: str) -> None:
             os.remove(p)
 
 
-def delete_by_query(index_dir: str, query) -> Dict[int, int]:
+def delete_by_query(index_dir: str, query,
+                    max_ord: Optional[int] = None) -> Dict[int, int]:
     """Delete every doc matching `query` (the reference's delete_query,
     src/indexer/index_writer.rs:698 — evaluated per segment at delete
     time).  → {segment_ord: total dead in segment}.
@@ -120,12 +132,13 @@ def delete_by_query(index_dir: str, query) -> Dict[int, int]:
 
     refs = [
         _one.options(**remote_args()).remote(s["segment_ord"])
-        for s in manifest.segments
+        for s in _segments_below(manifest, max_ord)
     ]
     return dict(ray.get(refs))
 
 
-def delete_all_documents(index_dir: str) -> Dict[int, int]:
+def delete_all_documents(index_dir: str,
+                         max_ord: Optional[int] = None) -> Dict[int, int]:
     """Tombstone every live doc (reference delete_all_documents,
     index_writer.rs:522 — the index serves empty until a merge/compaction
     physically drops the segments)."""
@@ -144,6 +157,6 @@ def delete_all_documents(index_dir: str) -> Dict[int, int]:
     refs = [
         _one.options(**remote_args()).remote(
             s["segment_ord"], s["num_docs"])
-        for s in manifest.segments
+        for s in _segments_below(manifest, max_ord)
     ]
     return dict(ray.get(refs))

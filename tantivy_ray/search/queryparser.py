@@ -410,7 +410,14 @@ class QueryParser:
         if not terms:
             return None
         if fuzzy is not None:
-            # FuzzyTermQuery carries no field — primary only (documented)
+            # FuzzyTermQuery carries no field — primary only.  Reject a
+            # non-primary scope loudly (matching the field-scoped
+            # phrase-prefix rejection) instead of silently searching the
+            # wrong field.
+            if explicit_field and qfield is not None:
+                raise ValueError(
+                    "field-scoped fuzzy queries are not supported "
+                    "(primary field only)")
             q: Query = FuzzyTermQuery(terms[0], distance=fuzzy)
         elif explicit_field:
             q = (TermQuery(terms[0], field=qfield) if len(terms) == 1

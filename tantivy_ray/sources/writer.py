@@ -90,24 +90,30 @@ class IndexWriter:
         for d in docs:
             self.add_document(d)
 
-    def delete_by_term(self, term: str) -> int:
+    def _queue_delete(self, op: str, arg) -> int:
+        # opstamp ordering (reference index_writer.rs): a delete applies
+        # only to documents added BEFORE it.  Seal the buffered adds now
+        # and record the segment-ord horizon — at commit the delete
+        # touches only segments with ord < horizon, so docs added after
+        # the delete call survive it (delete_all(); add(x); commit()
+        # yields {x}, matching the reference).
+        self._flush()
         self._opstamp += 1
-        self._pending_deletes.append(("term", term))
+        self._pending_deletes.append((op, arg, self._next_ord))
         return self._opstamp
+
+    def delete_by_term(self, term: str) -> int:
+        return self._queue_delete("term", term)
 
     def delete_by_query(self, query) -> int:
         """Queue a delete-by-query op (reference delete_query,
         index_writer.rs:698); applied at commit like delete_by_term."""
-        self._opstamp += 1
-        self._pending_deletes.append(("query", query))
-        return self._opstamp
+        return self._queue_delete("query", query)
 
     def delete_all_documents(self) -> int:
         """Queue deletion of every document (reference
         delete_all_documents, index_writer.rs:522)."""
-        self._opstamp += 1
-        self._pending_deletes.append(("all", None))
-        return self._opstamp
+        return self._queue_delete("all", None)
 
     def rollback(self) -> int:
         """Drop uncommitted ops; the opstamp rewinds to the last
@@ -158,17 +164,17 @@ class IndexWriter:
         # a resumed writer would silently skip them.  This order is safe —
         # a crash after the deletes but before the stamp just re-applies
         # them on resume (delete-by-term is idempotent).
-        for op, arg in self._pending_deletes:
+        for op, arg, max_ord in self._pending_deletes:
             if op == "term":
-                _delete_by_term(self.index_dir, arg)
+                _delete_by_term(self.index_dir, arg, max_ord=max_ord)
             elif op == "query":
                 from ..index.deletes import delete_by_query
 
-                delete_by_query(self.index_dir, arg)
+                delete_by_query(self.index_dir, arg, max_ord=max_ord)
             else:
                 from ..index.deletes import delete_all_documents
 
-                delete_all_documents(self.index_dir)
+                delete_all_documents(self.index_dir, max_ord=max_ord)
         self._pending_deletes.clear()
         # stamp the manifest with the last durable opstamp (atomic: the
         # manifest rewrite below replaces the file written above)

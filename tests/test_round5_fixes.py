@@ -1,0 +1,138 @@
+"""Round-5 fixes: advisor findings from ADVICE.md (round 4).
+
+1. aggregations.compute_partial — null-skipping in a bucket agg must not
+   leak into sibling aggregations (shared-mask rebind).
+2. IndexWriter delete ordering — ops apply in opstamp order (reference
+   src/indexer/index_writer.rs): docs added AFTER a delete survive it.
+3. Metric `missing` substitution on datetime64 columns.
+4. Field-scoped fuzzy queries raise instead of silently searching the
+   primary field.
+"""
+
+import numpy as np
+import pytest
+
+
+class TestAggSiblingMaskIsolation:
+    def test_terms_null_skip_does_not_leak_into_sibling_metric(self):
+        from tantivy_ray.aggregations import compute_partial, finalize
+
+        batch = {
+            "a": np.array(["x", None, "y", None], dtype=object),
+            "b": np.array([10.0, 20.0, 30.0, 40.0]),
+        }
+        aggs = {
+            "by_a": {"terms": {"field": "a"}},
+            "avg_b": {"avg": {"field": "b"}},
+        }
+        part = compute_partial(aggs, batch)
+        out = finalize(aggs, part)
+        # ADVICE repro: avg_b must see ALL 4 rows (25.0), not just the
+        # rows where `a` is non-null (20.0)
+        assert out["avg_b"]["value"] == pytest.approx(25.0)
+        keys = {b["key"] for b in out["by_a"]["buckets"]}
+        assert keys == {"x", "y"}
+
+    def test_histogram_null_skip_sibling(self):
+        from tantivy_ray.aggregations import compute_partial, finalize
+
+        batch = {
+            "h": np.array([1.0, np.nan, 3.0, np.nan]),
+            "b": np.array([1.0, 2.0, 3.0, 4.0]),
+        }
+        aggs = {
+            "hist": {"histogram": {"field": "h", "interval": 10.0}},
+            "sum_b": {"sum": {"field": "b"}},
+        }
+        out = finalize(aggs, compute_partial(aggs, batch))
+        assert out["sum_b"]["value"] == pytest.approx(10.0)
+
+
+class TestMetricMissingDatetime:
+    def test_datetime_missing_substitution(self):
+        from tantivy_ray.aggregations import compute_partial, finalize
+
+        col = np.array(["2024-01-01", "NaT", "2024-01-03"],
+                       dtype="datetime64[s]")
+        batch = {"ts": col}
+        aggs = {"mn": {"min": {"field": "ts",
+                               "missing": "2023-12-31T00:00:00"}}}
+        part = compute_partial(aggs, batch)
+        out = finalize(aggs, part)
+        # the missing value becomes the minimum (epoch seconds)
+        expected = np.datetime64("2023-12-31T00:00:00").astype(
+            "datetime64[s]").astype(np.int64)
+        assert out["mn"]["value"] == pytest.approx(float(expected))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWriterDeleteOpstampOrdering:
+    def test_delete_all_then_add_survives(self, tmp_path):
+        from tantivy_ray.search import IndexSearcher
+        from tantivy_ray.sources.writer import IndexWriter
+
+        p = str(tmp_path / "ix")
+        w = IndexWriter(p, text_col="text", id_col="url",
+                        docs_per_segment=100)
+        w.add_document({"url": "a", "text": "old cat"})
+        w.add_document({"url": "b", "text": "old dog"})
+        w.delete_all_documents()
+        w.add_document({"url": "c", "text": "new cat"})
+        w.commit()
+        s = IndexSearcher(p)
+        hits = s.search(["cat"], "or", 10)
+        assert len(hits) == 1  # only the post-delete doc
+        assert s.search(["old"], "or", 10) == []
+        assert s.search(["new"], "or", 10) != []
+
+    def test_delete_by_term_then_add_same_term(self, tmp_path):
+        from tantivy_ray.search import IndexSearcher
+        from tantivy_ray.sources.writer import IndexWriter
+
+        p = str(tmp_path / "ix2")
+        w = IndexWriter(p, text_col="text", id_col="url",
+                        docs_per_segment=100)
+        w.add_document({"url": "a", "text": "cat one"})
+        w.delete_by_term("cat")
+        w.add_document({"url": "b", "text": "cat two"})
+        w.commit()
+        s = IndexSearcher(p)
+        hits = s.search(["cat"], "or", 10)
+        assert len(hits) == 1
+        assert s.search(["two"], "or", 10) != []
+        assert s.search(["one"], "or", 10) == []
+
+    def test_delete_by_query_ordering(self, tmp_path):
+        from tantivy_ray.search import IndexSearcher
+        from tantivy_ray.search.query import TermQuery
+        from tantivy_ray.sources.writer import IndexWriter
+
+        p = str(tmp_path / "ix3")
+        w = IndexWriter(p, text_col="text", id_col="url",
+                        docs_per_segment=100)
+        w.add_document({"url": "a", "text": "ant bee"})
+        w.delete_by_query(TermQuery("bee"))
+        w.add_document({"url": "b", "text": "bee fly"})
+        w.commit()
+        s = IndexSearcher(p)
+        assert len(s.search(["bee"], "or", 10)) == 1
+        assert s.search(["ant"], "or", 10) == []
+
+
+class TestFieldScopedFuzzyRejected:
+    def test_non_primary_fuzzy_raises(self):
+        from tantivy_ray.search.queryparser import QueryParser
+
+        p = QueryParser(default_fields=["body", "title"])
+        with pytest.raises(ValueError, match="fuzzy"):
+            p.parse("title:foo~1")
+
+    def test_primary_field_fuzzy_ok(self):
+        from tantivy_ray.search.queryparser import QueryParser
+        from tantivy_ray.search.query import FuzzyTermQuery
+
+        p = QueryParser(default_fields=["body", "title"])
+        q = p.parse("body:foo~1")
+        assert isinstance(q, FuzzyTermQuery)
+        q2 = p.parse("foo~1")
+        assert isinstance(q2, FuzzyTermQuery)
