@@ -110,32 +110,47 @@ def jaccard_allpairs_prefix(ds, text_col: str = "text",
         rank_ref = ray.put((np.sort(hs), rank_of_sorted))
 
     def prefix_stage(batch: pa.Table) -> pa.Table:
+        # fully vectorized: one flatten, one searchsorted over ALL
+        # shingle hashes in the batch, one lexsort to rank-order each
+        # row's run, zero-copy per-row set blobs sliced from the single
+        # rank-sorted buffer (no per-row .as_py() / Python loops)
+        import pyarrow.compute as pc
+
         ranks = ray.get(rank_ref) if rank_ref is not None else None
         ids = batch.column(id_col).to_numpy()
         col = batch.column("sh").combine_chunks()
-        rows = {"p": [], id_col: [], "n": [], "set": []}
-        for i in range(len(ids)):
-            h = np.asarray(col[i].as_py(), dtype=np.uint64)
-            n = len(h)
-            if n == 0:
-                continue
-            if ranks is not None:
-                keys, rank_sorted = ranks
-                r = rank_sorted[np.searchsorted(keys, h)]
-                h = h[np.argsort(r)]          # rarity (df asc) order
-            # else: np.unique already left hash order — canonical too
-            p = _prefix_len(n, threshold)
-            blob = h.tobytes()
-            for ph in h[:p]:
-                rows["p"].append(int(ph))
-                rows[id_col].append(int(ids[i]))
-                rows["n"].append(n)
-                rows["set"].append(blob)
+        n = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(n.astype(np.float64)).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False)
+        nrows = len(n)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), n)
+        if ranks is not None and len(flat):
+            keys, rank_sorted = ranks
+            r = rank_sorted[np.searchsorted(keys, flat)]
+            order = np.lexsort((r, row_of))   # rarity (df asc) per row
+            flat = flat[order]
+        # else: np.unique already left hash order — canonical too
+        p = np.where(n > 0,
+                     n - np.ceil(threshold * n.astype(np.float64))
+                     .astype(np.int64) + 1, 0)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, n)
+        mask = pos < np.repeat(p, n)
+        # per-row set blob = this row's rank-sorted 8-byte hashes, sliced
+        # zero-copy from one contiguous buffer via LargeBinary offsets
+        off64 = np.concatenate(([0], np.cumsum(n))) * 8
+        blobs = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), nrows,
+            [None, pa.py_buffer(off64.astype(np.int64).tobytes()),
+             pa.py_buffer(flat.tobytes())])
+        sel_rows = row_of[mask]
         return pa.table({
-            "p": pa.array(rows["p"], type=pa.uint64()),
-            id_col: pa.array(rows[id_col], type=pa.int64()),
-            "n": pa.array(rows["n"], type=pa.int64()),
-            "set": pa.array(rows["set"], type=pa.large_binary()),
+            "p": pa.array(flat[mask], type=pa.uint64()),
+            id_col: pa.array(ids[sel_rows].astype(np.int64),
+                             type=pa.int64()),
+            "n": pa.array(n[sel_rows], type=pa.int64()),
+            "set": blobs.take(pa.array(sel_rows, type=pa.int64())),
         })
 
     exploded = docs.map_batches(prefix_stage, batch_format="pyarrow",
