@@ -142,10 +142,10 @@ class ExplodeSegment:
                         [raw_pos[bounds[i]:bounds[i + 1]] for i in sel]
                     ).tobytes() if len(sel) else b"")
 
-    def __call__(self, batch: pd.DataFrame) -> Iterator[pa.Table]:
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         bases = self._doc_bases()
         batch_tbls: List[pa.Table] = []
-        for seg_ord in batch["segment_ord"]:
+        for seg_ord in batch.column("segment_ord").to_pylist():
             seg_ord = int(seg_ord)
             reader = SegmentReader(
                 os.path.join(self.index_dir, segment_dir_name(seg_ord))
@@ -414,7 +414,7 @@ def merge_segments(
     fragments = segs.map_batches(
         ExplodeSegment(index_dir, salt_block_docs, num_buckets),
         batch_size=None,
-        batch_format="pandas",
+        batch_format="pyarrow",
         retry_exceptions=True,
         max_retries=3,
         **remote_args(),

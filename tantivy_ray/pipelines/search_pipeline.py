@@ -35,6 +35,21 @@ def _shard_ords(manifest, num_shards: int) -> List[List[int]]:
     return [ords[i::num_shards] for i in range(num_shards) if ords[i::num_shards]]
 
 
+def _hits_table(out: Dict[str, list], with_rank: bool = True) -> pa.Table:
+    """Typed Arrow result block for searcher actors (zero-copy into the
+    object store — no pandas conversion on the serving hot path)."""
+    cols = {
+        "query_id": pa.array(out["query_id"], type=pa.int64()),
+    }
+    if with_rank:
+        cols["rank"] = pa.array(out["rank"], type=pa.int32())
+    cols["score"] = pa.array(
+        np.asarray(out["score"], dtype=np.float32), type=pa.float32())
+    cols["segment_ord"] = pa.array(out["segment_ord"], type=pa.int32())
+    cols["doc_id"] = pa.array(out["doc_id"], type=pa.int64())
+    return pa.table(cols)
+
+
 class SearcherActor:
     """map_batches callable class: one actor = one shard's searcher."""
 
@@ -44,13 +59,16 @@ class SearcherActor:
         self.doc_freqs = doc_freqs
         self.use_wand = use_wand
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out = {
             "query_id": [], "rank": [], "score": [], "segment_ord": [],
             "doc_id": [],
         }
         for qid, terms, mode, k in zip(
-            batch["query_id"], batch["terms"], batch["mode"], batch["k"]
+            batch.column("query_id").to_pylist(),
+            batch.column("terms").to_pylist(),
+            batch.column("mode").to_pylist(),
+            batch.column("k").to_pylist(),
         ):
             if str(mode) == "phrase":
                 from ..search.query import PhraseQuery
@@ -71,13 +89,7 @@ class SearcherActor:
                 out["score"].append(np.float32(s))
                 out["segment_ord"].append(seg)
                 out["doc_id"].append(doc)
-        return pd.DataFrame({
-            "query_id": pd.Series(out["query_id"], dtype="int64"),
-            "rank": pd.Series(out["rank"], dtype="int32"),
-            "score": pd.Series(out["score"], dtype="float32"),
-            "segment_ord": pd.Series(out["segment_ord"], dtype="int32"),
-            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-        })
+        return _hits_table(out)
 
 
 class MultiShardSearcherActor:
@@ -108,36 +120,38 @@ class MultiShardSearcherActor:
             self._open[shard] = s
         return s
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"query_id": [], "score": [], "segment_ord": [], "doc_id": []}
-        for shard, g in batch.groupby("shard", sort=True):
-            searcher = self._searcher(int(shard))
-            for qid, terms, mode, k in zip(
-                g["query_id"], g["terms"], g["mode"], g["k"]
-            ):
-                if str(mode) == "phrase":
-                    from ..search.query import PhraseQuery
+        shard_col = batch.column("shard").to_numpy()
+        # shard-major input → contiguous runs; process each run with its
+        # searcher (sorted to be safe against block coalescing)
+        order = np.argsort(shard_col, kind="stable")
+        qids = batch.column("query_id").to_pylist()
+        termss = batch.column("terms").to_pylist()
+        modes = batch.column("mode").to_pylist()
+        ks = batch.column("k").to_pylist()
+        for i in order:
+            i = int(i)
+            searcher = self._searcher(int(shard_col[i]))
+            qid, terms, mode, k = qids[i], termss[i], modes[i], ks[i]
+            if str(mode) == "phrase":
+                from ..search.query import PhraseQuery
 
-                    hits = searcher.search_query(
-                        PhraseQuery(list(terms)), int(k),
-                        doc_freq_of=lambda t: self.doc_freqs.get(t, 0),
-                    )
-                else:
-                    hits = searcher.search(
-                        list(terms), str(mode), int(k),
-                        doc_freqs=self.doc_freqs, use_wand=self.use_wand,
-                    )
-                for s, seg, doc in hits:
-                    out["query_id"].append(int(qid))
-                    out["score"].append(np.float32(s))
-                    out["segment_ord"].append(seg)
-                    out["doc_id"].append(doc)
-        return pd.DataFrame({
-            "query_id": pd.Series(out["query_id"], dtype="int64"),
-            "score": pd.Series(out["score"], dtype="float32"),
-            "segment_ord": pd.Series(out["segment_ord"], dtype="int32"),
-            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-        })
+                hits = searcher.search_query(
+                    PhraseQuery(list(terms)), int(k),
+                    doc_freq_of=lambda t: self.doc_freqs.get(t, 0),
+                )
+            else:
+                hits = searcher.search(
+                    list(terms), str(mode), int(k),
+                    doc_freqs=self.doc_freqs, use_wand=self.use_wand,
+                )
+            for s, seg, doc in hits:
+                out["query_id"].append(int(qid))
+                out["score"].append(np.float32(s))
+                out["segment_ord"].append(seg)
+                out["doc_id"].append(doc)
+        return _hits_table(out, with_rank=False)
 
 
 class ParsedSearcherActor:
@@ -154,10 +168,12 @@ class ParsedSearcherActor:
         self.searcher = IndexSearcher(index_dir)
         self.parser = QueryParser(analyzer, default_fields, conjunction)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"query_id": [], "rank": [], "score": [], "segment_ord": [],
                "doc_id": []}
-        for qid, q, k in zip(batch["query_id"], batch["q"], batch["k"]):
+        for qid, q, k in zip(batch.column("query_id").to_pylist(),
+                             batch.column("q").to_pylist(),
+                             batch.column("k").to_pylist()):
             hits = self.searcher.search_query(
                 self.parser.parse(str(q)), int(k))
             for rank, (s, seg, doc) in enumerate(hits):
@@ -166,13 +182,7 @@ class ParsedSearcherActor:
                 out["score"].append(np.float32(s))
                 out["segment_ord"].append(seg)
                 out["doc_id"].append(doc)
-        return pd.DataFrame({
-            "query_id": pd.Series(out["query_id"], dtype="int64"),
-            "rank": pd.Series(out["rank"], dtype="int32"),
-            "score": pd.Series(out["score"], dtype="float32"),
-            "segment_ord": pd.Series(out["segment_ord"], dtype="int32"),
-            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-        })
+        return _hits_table(out)
 
 
 def parsed_search_pipeline(
@@ -204,7 +214,7 @@ def parsed_search_pipeline(
             "conjunction": conjunction_by_default,
         },
         batch_size=batch_size,
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
         **remote_args(),
     )
@@ -308,7 +318,7 @@ def search_pipeline(
                 "use_wand": use_wand,
             },
             batch_size=batch_size,
-            batch_format="pandas",
+            batch_format="pyarrow",
             concurrency=concurrency,
             **remote_args(),
         )
@@ -329,7 +339,7 @@ def search_pipeline(
                         "use_wand": use_wand,
                     },
                     batch_size=batch_size,
-                    batch_format="pandas",
+                    batch_format="pyarrow",
                     concurrency=concurrency,
                     **remote_args(),
                 )
@@ -347,26 +357,28 @@ def search_pipeline(
 
     k_of = {qid: k for qid, _, _, k in queries}
 
-    def reduce_query(g: pd.DataFrame) -> pd.DataFrame:
-        qid = int(g["query_id"].iloc[0])
-        hits = list(zip(
-            g["score"].astype(np.float32), g["segment_ord"], g["doc_id"]
-        ))
-        top = merge_topk([(float(s), int(a), int(b)) for s, a, b in hits],
-                         k_of.get(qid, 10))
-        return pd.DataFrame({
-            "query_id": pd.Series([qid] * len(top), dtype="int64"),
-            "rank": pd.Series(range(len(top)), dtype="int32"),
-            "score": pd.Series([t[0] for t in top], dtype="float32"),
-            "segment_ord": pd.Series([t[1] for t in top], dtype="int32"),
-            "doc_id": pd.Series([t[2] for t in top], dtype="int64"),
+    def reduce_query(g: pa.Table) -> pa.Table:
+        qid = int(g.column("query_id")[0].as_py())
+        scores = g.column("score").to_numpy().astype(np.float32)
+        segs = g.column("segment_ord").to_numpy()
+        docs = g.column("doc_id").to_numpy()
+        top = merge_topk(
+            [(float(s), int(a), int(b))
+             for s, a, b in zip(scores, segs, docs)],
+            k_of.get(qid, 10))
+        return _hits_table({
+            "query_id": [qid] * len(top),
+            "rank": list(range(len(top))),
+            "score": [t[0] for t in top],
+            "segment_ord": [t[1] for t in top],
+            "doc_id": [t[2] for t in top],
         })
 
     # coalesce before the reduce shuffle: per-shard top-k rows are tiny,
     # and the sort exchange's fixed cost scales with block count
     unioned = unioned.repartition(max(8, num_shards))
     result = unioned.groupby("query_id").map_groups(
-        reduce_query, batch_format="pandas", **remote_args()
+        reduce_query, batch_format="pyarrow", **remote_args()
     )
     tbl = pa.Table.from_pandas(result.to_pandas(), preserve_index=False)
     return tbl
