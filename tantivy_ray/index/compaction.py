@@ -153,3 +153,47 @@ def compact(index_dir: str, policy: Optional[LogMergePolicy] = None) -> Dict:
         "merged_groups": [g for g, _ in assignments],
         "new_segments": [m["segment_ord"] for m in new_metas],
     }
+
+
+def garbage_collect(index_dir: str,
+                    include_uncommitted: bool = False) -> List[str]:
+    """Remove segment directories not referenced by the committed
+    manifest (reference: segment_updater.rs GC after merge +
+    ManagedDirectory garbage collection — files outside the living set
+    are deleted once the new meta.json is durable).
+
+    Live reader generations keep serving through a GC: segment files are
+    mmapped, so unlinking only removes the directory entry — an open
+    SearcherPool/IndexSearcher holds the inodes until it reloads onto
+    the new generation (the reference's warming/generation tracking,
+    src/reader/warming.rs).
+
+    By default only dirs with ord <= the manifest's max ord are removed
+    (compaction/merge leftovers and crash orphans — a crash between the
+    manifest swap and cleanup leaves exactly these).  Dirs with HIGHER
+    ords may be a concurrent writer's flushed-but-uncommitted segments;
+    pass ``include_uncommitted=True`` to reap those too (only safe when
+    no IndexWriter is active, e.g. after a rollback).
+
+    → list of removed directory paths."""
+    manifest = load_manifest(index_dir)
+    live = {s["segment_ord"] for s in manifest.segments}
+    max_ord = max(live) if live else -1
+    removed: List[str] = []
+    for name in sorted(os.listdir(index_dir)):
+        if not name.startswith("seg-"):
+            continue
+        path = os.path.join(index_dir, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            ord_ = int(name.split("-", 1)[1])
+        except ValueError:
+            continue
+        if ord_ in live:
+            continue
+        if ord_ > max_ord and not include_uncommitted:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed

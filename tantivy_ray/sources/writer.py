@@ -51,6 +51,7 @@ class IndexWriter:
         os.makedirs(index_dir, exist_ok=True)
         self._buffer: List[Dict] = []
         self._pending_deletes: List[tuple] = []
+        self._uncommitted_ords: List[int] = []
         done = completed_segment_ords(index_dir)
         self._next_ord = max(done) + 1 if done else 0
         # monotonic opstamps (reference index_writer.rs: every queued op
@@ -117,10 +118,24 @@ class IndexWriter:
 
     def rollback(self) -> int:
         """Drop uncommitted ops; the opstamp rewinds to the last
-        committed stamp (reference rollback semantics)."""
+        committed stamp (reference rollback semantics).  Segments this
+        writer flushed since the last commit are removed from disk —
+        otherwise the next commit's dir scan would silently resurrect
+        rolled-back adds."""
+        import shutil
+
+        from ..index.segment import segment_dir_name
+
         n = len(self._buffer)
         self._buffer.clear()
         self._pending_deletes.clear()
+        for o in self._uncommitted_ords:
+            shutil.rmtree(os.path.join(self.index_dir, segment_dir_name(o)),
+                          ignore_errors=True)
+            n += 1  # count rolled-back flushed segments as dropped work
+        if self._uncommitted_ords:
+            self._next_ord = min(self._uncommitted_ords)
+        self._uncommitted_ords = []
         self._opstamp = self._committed_opstamp
         return n
 
@@ -142,6 +157,7 @@ class IndexWriter:
             lineage={"source": "index_writer", "buffered_rows": len(table)},
             fast_fields=self.fast_fields,
         )
+        self._uncommitted_ords.append(self._next_ord)
         self._next_ord += 1
         self._buffer.clear()
 
@@ -189,4 +205,5 @@ class IndexWriter:
             _json.dump(d, f, indent=1)
         os.replace(tmp, p)
         self._committed_opstamp = self._opstamp
+        self._uncommitted_ords = []
         return load_manifest(self.index_dir)

