@@ -270,6 +270,54 @@ def _top_hits_merge(spec: Dict, a, b):
     return ("tophits", rows[:size])
 
 
+def _is_multivalued(col: np.ndarray) -> bool:
+    """True for a list<T> fast-field column (reference columnar
+    Multivalued cardinality, columnar/src/lib.rs:83-92): Ray's numpy
+    batch format hands these over as object arrays of per-doc arrays."""
+    if col.dtype != object:
+        return False
+    for v in col:
+        if v is None:
+            continue
+        return isinstance(v, (list, tuple, np.ndarray))
+    return False
+
+
+def _explode_unique_per_doc(col: np.ndarray, sel: np.ndarray,
+                            miss) -> tuple:
+    """(flat_values, src_rows) of UNIQUE (doc, value) pairs for selected
+    rows — each distinct value counts one doc, duplicate values within a
+    doc are dropped (reference block_accessor.rs:95
+    fetch_block_with_missing_unique_per_doc).  Docs with no values take
+    the ``missing`` key once when given, else vanish (ES default)."""
+    sel_rows = np.flatnonzero(sel)
+    vals = []
+    lens = np.zeros(len(sel_rows), dtype=np.int64)
+    for j, i in enumerate(sel_rows):
+        v = col[i]
+        if v is None:
+            continue
+        a = np.asarray(v)
+        if a.size:
+            vals.append(a)
+            lens[j] = a.size
+    flat = np.concatenate(vals) if vals else np.empty(0, dtype=object)
+    rows = np.repeat(sel_rows, lens)
+    if len(flat):
+        import pandas as pd
+
+        keep = ~pd.DataFrame({"r": rows, "v": flat}).duplicated().to_numpy()
+        flat, rows = flat[keep], rows[keep]
+    if miss is not None:
+        empty_rows = sel_rows[lens == 0]
+        if len(empty_rows):
+            flat = np.concatenate([
+                flat.astype(object),
+                np.full(len(empty_rows), miss, dtype=object)])
+            rows = np.concatenate([rows, empty_rows])
+    return flat, rows
+
+
 def _null_mask(col: np.ndarray) -> np.ndarray:
     """True where a column value is missing (None / NaN / NaT)."""
     if col.dtype == object or str(col.dtype).startswith(("datetime", "<M8")):
@@ -285,6 +333,23 @@ def _metric_partial(kind: str, spec: Dict, values: np.ndarray):
     # ES/reference `missing` parameter (metric/*.rs `pub missing`):
     # substitute for absent values; default skips them
     miss = spec.get("missing")
+    if _is_multivalued(values):
+        # multivalued fast field: metrics run over ALL values
+        # (reference columnar Multivalued — each value feeds the agg);
+        # a doc with no values contributes `missing` once when given
+        nulls = np.fromiter((v is None or len(v) == 0 for v in values),
+                            dtype=bool, count=len(values))
+        parts = [np.asarray(v) for v in values[~nulls]]
+        flat = (np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.float64))
+        if miss is not None and nulls.any():
+            fill = np.full(int(nulls.sum()), miss)
+            try:
+                flat = np.concatenate([flat, fill])
+            except (TypeError, ValueError):
+                flat = np.concatenate([flat.astype(object),
+                                       fill.astype(object)])
+        values = flat
     null = _null_mask(values)
     if null.any():
         if miss is not None:
@@ -397,33 +462,47 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
         # bucket aggs: compute bucket key per row
         col = batch[body["field"]]
         if kind in ("terms", "histogram", "date_histogram"):
-            # bsel is local to THIS agg: null-skipping must not leak into
-            # sibling aggregations sharing the caller's selection mask
-            bsel = sel
-            null = _null_mask(col)
-            if null.any():
-                miss = body.get("missing")
-                if miss is not None:
-                    # reference term_agg `missing` key: absent values
-                    # bucket under the given key
-                    keyed_fill = col.copy()
-                    keyed_fill[null] = miss
-                    col = keyed_fill
-                else:
-                    bsel = sel & ~null  # ES default: skip docs w/o field
-            if kind == "terms":
-                keyed = col
-            elif kind == "date_histogram" and body.get("calendar_interval"):
-                keyed = _calendar_bucket(col, body["calendar_interval"])
+            if kind == "terms" and _is_multivalued(col):
+                # multivalued terms agg: unique (doc, value) pairs — each
+                # distinct value counts the doc once (reference
+                # block_accessor.rs:95); src_rows routes sub-aggs back to
+                # the source docs
+                keyed_flat, src_rows = _explode_unique_per_doc(
+                    col, sel, body.get("missing"))
             else:
-                interval = body.get("interval") or body.get("fixed_interval")
-                off = body.get("offset", 0)
-                vals = col.astype(np.float64)
-                keyed = np.floor((vals - off) / interval) * interval + off
+                # bsel is local to THIS agg: null-skipping must not leak
+                # into sibling aggregations sharing the caller's mask
+                bsel = sel
+                null = _null_mask(col)
+                if null.any():
+                    miss = body.get("missing")
+                    if miss is not None:
+                        # reference term_agg `missing` key: absent values
+                        # bucket under the given key
+                        keyed_fill = col.copy()
+                        keyed_fill[null] = miss
+                        col = keyed_fill
+                    else:
+                        bsel = sel & ~null  # ES default: skip null docs
+                if kind == "terms":
+                    keyed = col
+                elif (kind == "date_histogram"
+                      and body.get("calendar_interval")):
+                    keyed = _calendar_bucket(col,
+                                             body["calendar_interval"])
+                else:
+                    interval = (body.get("interval")
+                                or body.get("fixed_interval"))
+                    off = body.get("offset", 0)
+                    vals = col.astype(np.float64)
+                    keyed = (np.floor((vals - off) / interval) * interval
+                             + off)
+                sel_idx = np.flatnonzero(bsel)
+                keyed_flat = keyed[sel_idx]
+                src_rows = sel_idx
             # one pass: unique keys + inverse codes + bincount doc counts
             # (the round-1 per-key boolean mask was O(uniques x rows))
-            sel_idx = np.flatnonzero(bsel)
-            uniq, inv = np.unique(keyed[sel_idx], return_inverse=True)
+            uniq, inv = np.unique(keyed_flat, return_inverse=True)
             counts = np.bincount(inv, minlength=len(uniq))
             buckets: Dict[Any, Dict] = {}
             if subs:
@@ -438,7 +517,7 @@ def compute_partial(aggs: Dict[str, Dict], batch: Dict[str, np.ndarray],
                     k = float(key)
                 if subs:
                     m2 = np.zeros(len(sel), dtype=bool)
-                    m2[sel_idx[order[offsets[u_i]:offsets[u_i + 1]]]] = True
+                    m2[src_rows[order[offsets[u_i]:offsets[u_i + 1]]]] = True
                     sub = compute_partial(subs, batch, m2)
                 else:
                     sub = {}

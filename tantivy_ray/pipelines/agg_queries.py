@@ -208,6 +208,57 @@ FROM events GROUP BY event_type
 """
 
 
+# 5b. MULTIVALUED terms agg over a list<string> fast field ----------------
+# (reference columnar Multivalued cardinality, columnar/src/lib.rs:83-92;
+# unique-(doc,value) counting per block_accessor.rs:95)
+
+def q_agg_terms_tags(sf_dir: str) -> pa.Table:
+    """Terms + avg sub-agg over a MULTIVALUED column: part rows tagged
+    with the words of p_name (a deterministic list<string> derived in a
+    map_batches stage — the testdata ships no list columns).  Each doc
+    counts once per distinct tag; sub-aggs see the docs of the bucket."""
+    import pyarrow.compute as pc
+
+    from ..utils import remote_args
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def add_tags(batch: pa.Table) -> pa.Table:
+        tags = pc.split_pattern(batch.column("p_name"), " ")
+        return pa.table({
+            "tags": tags,
+            "p_retailprice": batch.column("p_retailprice"),
+        })
+
+    tagged = ds.map_batches(add_tags, batch_format="pyarrow",
+                            **remote_args())
+    res = run_aggregations(tagged, {
+        "by_tag": {
+            "terms": {"field": "tags", "size": 10_000},
+            "aggs": {"a": {"avg": {"field": "p_retailprice"}}},
+        }
+    })
+    rows = [{
+        "tag": b["key"],
+        "doc_count": b["doc_count"],
+        "avg_price": round(b["a"]["value"], 6),
+    } for b in res["by_tag"]["buckets"]]
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+SQL_AGG_TERMS_TAGS = """
+WITH pairs AS (
+  SELECT DISTINCT p_partkey,
+         unnest(string_split(p_name, ' ')) AS tag,
+         p_retailprice
+  FROM part
+)
+SELECT tag, count(*) AS doc_count,
+       round(avg(p_retailprice), 6) AS avg_price
+FROM pairs GROUP BY tag
+"""
+
+
 # 6. exact distinct (unique-op parity; HLL is property-tested) ------------
 
 def q_distinct_users(sf_dir: str) -> pa.Table:
@@ -408,6 +459,7 @@ AGG_QUERIES: Dict = {
     "agg_calendar_histogram_events": q_agg_calendar_histogram_events,
     "agg_range_events": q_agg_range_events,
     "agg_terms_events": q_agg_terms_events,
+    "agg_terms_tags": q_agg_terms_tags,
     "distinct_users": q_distinct_users,
 }
 
@@ -420,6 +472,7 @@ AGG_ORACLE_SQL: Dict[str, str] = {
     "agg_calendar_histogram_events": SQL_AGG_CALENDAR_HISTOGRAM_EVENTS,
     "agg_range_events": SQL_AGG_RANGE_EVENTS,
     "agg_terms_events": SQL_AGG_TERMS_EVENTS,
+    "agg_terms_tags": SQL_AGG_TERMS_TAGS,
     "distinct_users": SQL_DISTINCT_USERS,
     "agg_cardinality_users": SQL_AGG_CARDINALITY_USERS,
     "agg_percentiles_value": SQL_AGG_PERCENTILES_VALUE,
