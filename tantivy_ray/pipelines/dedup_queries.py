@@ -20,7 +20,7 @@ from ..dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from .sql_common import TOKENS_EXPR
+from .sql_common import TOKENS_EXPR, golden_sql as _golden_sql
 
 JACCARD_THRESHOLD = 0.8
 COS_THRESHOLD = 0.45
@@ -109,5 +109,8 @@ DEDUP_ORACLE_SQL: Dict[str, str] = {
     "minhash_lsh_dups": SQL_JACCARD_DUPS,
     "ngram_jaccard_dups": SQL_JACCARD_DUPS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    # simhash_dups: not SQL-expressible → rows-only check
+    # simhash itself is not SQL-expressible; the oracle is a checked-in
+    # golden fixture computed by brute-force all-pairs popcount
+    # (tools/make_goldens.py) — independent of the banding under test
+    "simhash_dups": _golden_sql("simhash_dups"),
 }

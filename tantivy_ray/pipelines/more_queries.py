@@ -26,6 +26,7 @@ from .sql_common import (
     TOK_CTE,
     TOKENS_EXPR,
     build_docs_index,
+    golden_sql as _golden_sql,
     _index_cache_dir,
 )
 
@@ -1034,8 +1035,11 @@ MORE_ORACLE_SQL: Dict[str, str] = {
     "regex_match_count": SQL_REGEX_MATCH_COUNT,
     "snippets": _sql_snippets(),
     "more_like_this": _sql_more_like_this(),
-    # rows-only by design: simhash_dups (fingerprints are engine-side
-    # SipHash — SQL cannot recompute them), stemmed_doc_freqs[_multilang]
-    # (no Snowball stemmer in this DuckDB build; golden-vector tests
-    # cover the stemmers)
+    # no Snowball stemmer in this DuckDB build → the oracles are
+    # checked-in golden fixtures (tools/make_goldens.py): expected tables
+    # computed single-process with a direct per-doc Counter, independent
+    # of the distributed index-build / groupby paths under test
+    "stemmed_doc_freqs": _golden_sql("stemmed_doc_freqs"),
+    "stemmed_doc_freqs_multilang": _golden_sql(
+        "stemmed_doc_freqs_multilang"),
 }

@@ -23,6 +23,20 @@ TOK_CTE = (
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 
+# Golden-fixture oracles for deterministic entries DuckDB cannot compute
+# itself (no Snowball stemmer / simhash): tools/make_goldens.py derives
+# each expected table single-process with logic independent of the
+# distributed path (brute-force all-pairs for simhash banding, direct
+# Counter df for the index-build path).  The driver's correctness sweep
+# runs at sf0.01 — the fixtures are generated at that scale.
+_GOLDEN_DIR = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "fixtures", "golden", "sf0.01"))
+
+
+def golden_sql(name: str) -> str:
+    return ("SELECT * FROM read_parquet("
+            f"'{os.path.join(_GOLDEN_DIR, name)}.parquet')")
+
 FNTAB_SQL = "fntab(v) AS (VALUES " + ", ".join(
     f"({int(v)})" for v in FIELD_NORMS_TABLE
 ) + ")"
