@@ -257,8 +257,79 @@ def run_scaling() -> dict:
     }
 
 
+SF1_DIR = os.environ.get("GRAFT_SF1_DIR", "/tmp/tantivy_ray_sf1")
+SF1_DOCS = int(os.environ.get("GRAFT_SF1_DOCS", "50000"))
+
+
+def run_sf1() -> dict:
+    """Full-scale evidence run: synthesize an sf1-shaped table set
+    (10x the shipped sf0.1 — 50k docs / 1M events / 6M lineitem / 2M
+    pages), run the headline bench stages AND every queries() entry
+    Ray-side over it, and report per-stage walls + any errors.  The
+    oracle compare stays at sf0.01 (driver scale); this run proves the
+    distributed paths at 10x with zero errors."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tantivy_ray.pipelines.sfgen import write_sf_tables
+
+    write_sf_tables(SF1_DIR, SF1_DOCS)
+
+    # headline stages in a fresh process (same harness, sf1 input,
+    # single repeat — at this scale one run is signal enough)
+    env = dict(os.environ, GRAFT_SF_DIR=SF1_DIR, GRAFT_BENCH_REPEATS="1",
+               RAY_GRAFT_CPUS=str(NUM_CPUS))
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    headline = json.loads(res.stdout.strip().splitlines()[-1])
+
+    # contract sweep: every queries() entry Ray-side (no oracle — the
+    # minhash/jaccard SQL oracles are quadratic by design; correctness
+    # is gated at sf0.01)
+    import ray
+
+    import tantivy_ray  # noqa: F401
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from tantivy_ray.pipelines import queries as q
+
+    walls, rows, errors = {}, {}, {}
+    for name, fn in q.QUERIES.items():
+        t0 = time.time()
+        try:
+            r = fn(SF1_DIR)
+            rows[name] = int(r.num_rows if hasattr(r, "num_rows")
+                             else len(r))
+        except Exception as e:  # noqa: BLE001 — sweep must report, not die
+            errors[name] = repr(e)[:300]
+        walls[name] = round(time.time() - t0, 2)
+    ray.shutdown()
+    return {
+        "metric": "sf1 headline + full contract sweep wall time",
+        "value": headline["value"],
+        "unit": "sec",
+        "sf": SF1_DIR,
+        "n_docs": SF1_DOCS,
+        "num_cpus": NUM_CPUS,
+        "headline": headline,
+        "sweep_walls": walls,
+        "sweep_rows": rows,
+        "sweep_errors": errors,
+        "sweep_total_sec": round(sum(walls.values()), 1),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--sf1" in sys.argv:
+        print(json.dumps(run_sf1()))
     else:
         print(json.dumps(run_bench()))
