@@ -819,23 +819,37 @@ def q_stemmed_doc_freqs_multilang(sf_dir: str) -> pa.Table:
                          columns=["doc_id", "text", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        langs = batch.column("lang").to_pylist()
-        rows_lang, rows_term, rows_df = [], [], []
+        # per-lang routing with Arrow masks; (doc, term) dedup + df via
+        # dictionary-encode + one np.unique per language — no pandas
+        # round-trip, no Python row selection
         import numpy as _np
-        import pandas as _pd
+        import pyarrow.compute as _pc
 
-        for lang in sorted(set(langs)):
-            idx = [i for i, l in enumerate(langs) if l == lang]
-            sub = batch.take(idx)
-            out = analyze_batch(sub.column("text"), analyzer_for_lang(lang))
-            flat = out.tokens.values.to_pandas()
+        lang_col = batch.column("lang")
+        rows_lang, rows_term, rows_df = [], [], []
+        for lang_v in _pc.unique(lang_col.combine_chunks()).to_pylist():
+            sub = batch.filter(_pc.equal(lang_col, lang_v))
+            out = analyze_batch(sub.column("text"),
+                                analyzer_for_lang(lang_v))
+            flat = out.tokens.values
+            if len(flat) == 0:
+                continue
+            enc = _pc.dictionary_encode(flat.combine_chunks()
+                                        if hasattr(flat, "combine_chunks")
+                                        else flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(_np.int64)
+            n_terms = len(enc.dictionary)
             docs = _np.repeat(_np.arange(len(sub), dtype=_np.int64),
                               out.num_tokens)
-            df = _pd.DataFrame({"term": flat, "doc": docs}).drop_duplicates()
-            part = df.groupby("term", sort=False).size()
-            rows_lang.extend([lang] * len(part))
-            rows_term.extend(part.index.tolist())
-            rows_df.extend(int(v) for v in part.values)
+            pair_keys = docs * n_terms + codes
+            uniq_pairs = _np.unique(pair_keys)
+            df = _np.bincount((uniq_pairs % n_terms).astype(_np.int64),
+                              minlength=n_terms)
+            terms = enc.dictionary.to_pylist()
+            rows_lang.extend([lang_v] * n_terms)
+            rows_term.extend(terms)
+            rows_df.extend(int(v) for v in df)
         return pa.table({
             "lang": pa.array(rows_lang, type=pa.string()),
             "term": pa.array(rows_term, type=pa.string()),

@@ -22,7 +22,6 @@ from __future__ import annotations
 from collections import Counter
 from typing import Dict, Iterable, List, Sequence
 
-import pandas as pd
 import pyarrow as pa
 
 from ..utils import remote_args
@@ -46,16 +45,6 @@ def child_of(path: str, root: str) -> str | None:
     return f"{root}/{seg}"
 
 
-def _children_batch(paths: pd.Series, root: str) -> pd.Series:
-    """Vectorized child_of over a string Series (NaN when outside)."""
-    root = _norm_root(root)
-    pre = root + "/"
-    inside = paths.str.startswith(pre).fillna(False)
-    rest = paths[inside].str.slice(len(pre))
-    seg = rest.str.split("/", n=1).str[0]
-    return pre + seg[seg != ""]
-
-
 def facet_child_counts(ds, path_col: str, roots: Sequence[str],
                        min_count: int = 1) -> pa.Table:
     """→ (root, child, doc_count) for every immediate child of every
@@ -64,16 +53,29 @@ def facet_child_counts(ds, path_col: str, roots: Sequence[str],
     roots = list(roots)
 
     def partial(batch: pa.Table) -> pa.Table:
-        s = batch.column(path_col).to_pandas()
+        # Arrow-native: starts_with + slice + split per root; only the
+        # UNIQUE children (bounded by facet fanout, not rows) touch Python
+        import pyarrow.compute as pc
+
+        col = batch.column(path_col)
         rows_root, rows_child, rows_n = [], [], []
         for root in roots:
-            ch = _children_batch(s, root)
-            if len(ch) == 0:
+            pre = _norm_root(root) + "/"
+            mask = pc.fill_null(pc.starts_with(col, pre), False)
+            inside = pc.filter(col, mask)
+            if len(inside) == 0:
                 continue
-            counts = ch.value_counts()
-            rows_root.extend([_norm_root(root) + "/"] * len(counts))
-            rows_child.extend(counts.index.tolist())
-            rows_n.extend(int(v) for v in counts.values)
+            rest = pc.utf8_slice_codeunits(inside, len(pre))
+            seg = pc.list_element(
+                pc.split_pattern(rest, "/", max_splits=1), 0)
+            seg = pc.filter(seg, pc.not_equal(seg, ""))
+            if len(seg) == 0:
+                continue
+            vc = pc.value_counts(seg)
+            vals = vc.field("values").to_pylist()
+            rows_root.extend([pre] * len(vals))
+            rows_child.extend(pre + v for v in vals)
+            rows_n.extend(vc.field("counts").to_pylist())
         return pa.table({
             "root": pa.array(rows_root, type=pa.string()),
             "child": pa.array(rows_child, type=pa.string()),
