@@ -5,9 +5,9 @@ Portuguese, Dutch, Romanian, Finnish, Hungarian and Turkish are
 implemented from the published Snowball algorithm descriptions
 (snowballstem.org/algorithms/<language>/stemmer.html) — the same
 algorithms the reference uses through rust-stemmers
-(/root/reference/src/tokenizer/stemmer.rs:63-120).  Greek follows the
-published Ntais algorithm (the basis of Snowball Greek) with its long
-per-rule exception word lists reduced to the structural rules; Arabic
+(/root/reference/src/tokenizer/stemmer.rs:63-120).  Greek is the full
+published Ntais algorithm (the basis of Snowball Greek) — the 7-step
+structure with its per-rule re-attachment exception tables; Arabic
 is the published Light10 stemmer (Larkey, Ballesteros & Connell 2002);
 Tamil is a published-rules light suffix stripper.  With English
 (Porter2, stemmer.py) all 18 of the reference's languages are routed.
@@ -1804,38 +1804,345 @@ def turkish_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Greek (core rules of the published Ntais algorithm, the basis of
-# Snowball Greek; the long per-rule exception word lists are reduced to
-# the structural suffix rules)
+# Greek — full step structure of the published Ntais algorithm (G. Ntais
+# 2006, "Development of a Stemmer for the Greek Language", the basis of
+# Snowball Greek and the reference's rust-stemmers Greek;
+# /root/reference/src/tokenizer/stemmer.rs:79): step 1 irregular-noun
+# table, steps 2a-2d plural/genitive with re-attachment, steps 3-4
+# -ΙΑ/-ΙΚΑ with vowel re-attachment, steps 5a-5m verb endings with
+# per-rule exception lists, step 6 regular inflection (gated on no
+# earlier verb rule firing), step 7 comparatives.  Tables are from the
+# published description, lowercased and σ-normalized (the analyzer's
+# LowerCaser never emits final sigma).
 # ---------------------------------------------------------------------------
 
 _EL_VOWELS = frozenset("αεηιουω")
+_EL_VOWELS2 = frozenset("αεηιοω")  # step-5 re-attachment set (no υ)
 
-# inflectional endings, longest first (σ-normalized: the analyzer's
-# LowerCaser never emits final sigma)
-_EL_SUFFIXES = (
-    "ιουσ", "ιων", "ουσα", "ουσε", "ουμε", "ειτε", "ονται", "ομαι",
-    "εσαι", "εται", "ηκαν", "ουσαν", "οταν",
-    "ματα", "ματων", "ματοσ",
-    "ουν", "ουσ", "εισ", "ειτ", "ηκα", "ηκε", "ησα", "ησε", "ησαν",
-    "ετε", "ομε", "αμε", "ατε", "εων",
-    "ων", "ου", "εσ", "ασ", "ησ", "οσ", "οι", "αι", "ια", "ιο",
-    "α", "η", "ο", "ι", "ε",
-)
+# prelude (as in Snowball Greek's tolower): strip tonos/dialytika from
+# vowels and normalize final sigma before any rule runs
+_EL_PRELUDE = str.maketrans({
+    "ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ό": "ο", "ύ": "υ",
+    "ώ": "ω", "ϊ": "ι", "ϋ": "υ", "ΐ": "ι", "ΰ": "υ", "ς": "σ"})
+
+# step 1: irregular nouns whose stems the suffix rules cannot reach
+_EL_STEP1 = {
+    "φαγια": "φα", "φαγιου": "φα", "φαγιων": "φα",
+    "σκαγια": "σκα", "σκαγιου": "σκα", "σκαγιων": "σκα",
+    "ολογιου": "ολο", "ολογια": "ολο", "ολογιων": "ολο",
+    "σογιου": "σο", "σογια": "σο", "σογιων": "σο",
+    "τατογια": "τατο", "τατογιου": "τατο", "τατογιων": "τατο",
+    "κρεασ": "κρε", "κρεατοσ": "κρε", "κρεατα": "κρε", "κρεατων": "κρε",
+    "περασ": "περ", "περατοσ": "περ", "περατα": "περ", "περατων": "περ",
+    "τερασ": "τερ", "τερατοσ": "τερ", "τερατα": "τερ", "τερατων": "τερ",
+    "φωσ": "φω", "φωτοσ": "φω", "φωτα": "φω", "φωτων": "φω",
+    "καθεστωσ": "καθεστ", "καθεστωτοσ": "καθεστ",
+    "καθεστωτα": "καθεστ", "καθεστωτων": "καθεστ",
+    "γεγονοσ": "γεγον", "γεγονοτοσ": "γεγον",
+    "γεγονοτα": "γεγον", "γεγονοτων": "γεγον",
+}
+
+# per-step exception stems (exact-match sets; *_END tuples are ends-with)
+_EL_EX_2A = frozenset((  # kinship nouns keep the bare stem (γιαγιαδεσ→γιαγι)
+    "οκ", "μαμ", "μαν", "μπαμπ", "πατερ", "γιαγι", "νταντ", "κυρ",
+    "θει", "πεθερ"))
+_EL_EX_2B_END = (
+    "οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ", "μιλ")
+_EL_EX_2C_END = (
+    "αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ", "σ", "φλ", "φρ",
+    "βελ", "λουλ", "χν", "σπ", "τραγ", "φε")
+_EL_EX_2D = frozenset(("θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ"))
+_EL_EX_4 = frozenset((
+    "αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ", "αντιδ", "φυσ",
+    "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ", "μουλ", "μπαν",
+    "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ", "συνομηλ", "πετσ", "πιτσ",
+    "πικαντ", "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ", "τσαμ",
+    "υποδ", "φιλον", "φυλοδ", "χασ"))
+_EL_EX_5A = frozenset((
+    "αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ", "πεθ",
+    "πικρ", "ποτ", "σιχ", "χ"))
+_EL_EX_5B1 = frozenset(("τρ", "τσ"))
+_EL_EX_5B2 = frozenset((
+    "βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ",
+    "καστελ", "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ", "ν", "ουλ",
+    "π", "πελεκ", "πλ", "πολισ", "πορτολ", "σαρακατσ", "σουλτ",
+    "τσαρλατ", "ορφ", "τσιγγ", "τσοπ", "φωτοστεφ", "χ", "ψυχοπλ", "αγ",
+    "γαλ", "γερ", "δεκ", "διπλ", "αμερικαν", "ουρ", "πιθ", "πουριτ",
+    "σ", "ζωντ", "ικ", "καστ", "κοπ", "λιχ", "λουθηρ", "μαιντ", "μελ",
+    "σιγ", "σπ", "στεγ", "τραγ", "τσαγ", "φ", "ερ", "αδαπ", "αθιγγ",
+    "αμηχ", "ανικ", "ανοργ", "απηγ", "απιθ", "ατσιγγ", "βασ", "βασκ",
+    "βαθυγαλ", "βιομηχ", "βραχυκ", "διατ", "διαφ", "ενοργ", "θυσ",
+    "καπνοβιομηχ", "καταγαλ", "κλιβ", "κοιλαρφ", "λιβ", "μεγλοβιομηχ",
+    "μικροβιομηχ", "νταβ", "ξηροκλιβ", "ολιγοδαμ", "ολογαλ", "πενταρφ",
+    "περηφ", "περιτρ", "πλατ", "πολυδαπ", "πολυμηχ", "στεφ", "ταβ",
+    "τετ", "υπερηφ", "υποκοπ", "χαμηλοδαπ", "ψηλοταβ"))
+_EL_EX_5C_END = (
+    "οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ", "ενδ", "ευρ", "τιθ",
+    "υπερθ", "ραθ", "ενθ", "ροθ", "σθ", "πυρ", "αιν", "συνδ", "συν",
+    "συνθ", "χωρ", "πον", "βρ", "καθ", "ευθ", "εκθ", "νετ", "ρον",
+    "αρκ", "βαρ", "βολ", "ωφελ")
+_EL_EX_5C = frozenset((
+    "αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν", "απλ", "βαρον",
+    "ντρ", "σκ", "κοπ", "μπορ", "νιφ", "παγ", "παρακαλ", "σερπ",
+    "σκελ", "συρφ", "τοκ", "υ", "δ", "εμ", "θαρρ", "θ"))
+_EL_EX_5D = frozenset(("αρχ",))
+_EL_EX_5E = frozenset(("ον",))
+_EL_EX_5F1 = frozenset(("π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ"))
+_EL_EX_5F2 = frozenset((
+    "αλ", "αρ", "εκτελ", "ζ", "μ", "ξ", "παρακαλ", "προ", "νισ"))
+_EL_EX_5G1 = frozenset((
+    "διαθ", "θ", "παρακαταθ", "προσθ", "συνθ"))
+_EL_EX_5G_END = ("σκωλ", "σκουλ", "ναρθ", "σφ", "οθ", "πιθ")
+_EL_EX_5H_END = (
+    "ποδαρ", "βλεπ", "πανταχ", "φρυδ", "μαντιλ", "μαλλ", "κυματ",
+    "λαχ", "ληγ", "φαγ", "ομ", "πρωτ")
+_EL_EX_5H = frozenset((
+    "φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ", "λαμπιδ", "λεχ",
+    "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ", "υποτειν", "αμ", "αιθ",
+    "ανηκ", "δεσποζ", "ενδιαφερ", "δε", "δευτερευ", "καθαρευ", "πλε",
+    "τσα"))
+_EL_EX_5I_NOT = frozenset(("ψοφ", "ναυλοχ"))
+_EL_EX_5I = frozenset((
+    "αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ", "αφ", "αμαλ",
+    "αμαλλι", "ανυστ", "απερ", "ασπαρ", "αχαρ", "δερβεν", "δροσοπ",
+    "ξεφ", "νεοπ", "νομοτ", "ολοπ", "ομοτ", "προστ", "προσωποπ",
+    "συμπ", "συντ", "τ", "υποτ", "χαρ", "αειπ", "αιμοστ", "ανυπ",
+    "αποτ", "αρτιπ", "διατ", "εν", "επιτ", "κροκαλοπ", "σιδηροπ", "λ",
+    "ναυ", "ουλαμ", "ουρ", "π", "τρ", "μ"))
+_EL_EX_5J = frozenset((
+    "ν", "χερσον", "δωδεκαν", "ερημον", "μεγαλον", "επταν"))
+_EL_EX_5K = frozenset((
+    "ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν", "δυσχρ", "ευχρ",
+    "κοινοχρ", "παλιμψ"))
+_EL_EX_5L = frozenset((
+    "ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ", "εξων"))
+_EL_EX_5M = frozenset((
+    "παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ", "ασουσ"))
+
+# step 6 part 2: the regular inflectional endings of Greek nouns,
+# adjectives and verbs — stripped only when no step-5 verb rule fired
+_EL_STEP6 = tuple(sorted((
+    "α", "αγατε", "αγαν", "αει", "αμαι", "αν", "ασ", "ασαι", "αται",
+    "αω", "ε", "ει", "εισ", "ειτε", "εσαι", "εσ", "εται", "ι", "ιεμαι",
+    "ιεμαστε", "ιεται", "ιεσαι", "ιεσαστε", "ιομασταν", "ιομουν",
+    "ιομουνα", "ιονταν", "ιοντουσαν", "ιοσασταν", "ιοσαστε", "ιοσουν",
+    "ιοσουνα", "ιοταν", "ιουμα", "ιουμαστε", "ιουνται", "ιουνταν",
+    "η", "ηδεσ", "ηδων", "ηθει", "ηθεισ", "ηθειτε", "ηθηκατε",
+    "ηθηκαν", "ηθουν", "ηθω", "ηκατε", "ηκαν", "ησ", "ησαν", "ησατε",
+    "ησει", "ησεσ", "ησουν", "ησω", "ο", "οι", "ομαι", "ομασταν",
+    "ομουν", "ομουνα", "ονται", "ονταν", "οντουσαν", "οσ", "οσασταν",
+    "οσαστε", "οσουν", "οσουνα", "οταν", "ου", "ουμαι", "ουμαστε",
+    "ουν", "ουνται", "ουνταν", "ουσ", "ουσαν", "ουσατε", "υ", "υσ",
+    "ω", "ων"), key=len, reverse=True))
+
+_EL_STEP7 = ("εστερ", "εστατ", "οτερ", "οτατ", "υτερ", "υτατ",
+             "ωτερ", "ωτατ")
+
+
+def _el_strip(w, suffixes):
+    """Strip the longest matching suffix; return (stem, suffix|None)."""
+    for s in suffixes:
+        if w.endswith(s):
+            return w[:-len(s)], s
+    return w, None
 
 
 @lru_cache(maxsize=65536)
 def greek_stem(word: str) -> str:
-    """Greek stemmer after the published Ntais algorithm (the basis of
-    Snowball Greek / reference rust-stemmers): ordered longest-first
-    removal of inflectional endings with a minimum-stem guard.  The
-    published per-rule exception word lists are intentionally reduced
-    to the structural rules — conflation stays deterministic."""
-    w = word.replace("\u03c2", "\u03c3")  # robust to raw final-sigma input
-    for s in _EL_SUFFIXES:
-        if w.endswith(s) and len(w) - len(s) >= 3:
-            w = w[:-len(s)]
-            break
+    """Greek stemmer — the full published Ntais step structure (see the
+    section comment above).  Words shorter than 4 letters and the
+    step-1 irregular table short-circuit; steps 2-5 strip with per-rule
+    re-attachment exception lists; step 6's regular-inflection strip is
+    gated on no earlier verb rule having fired (the algorithm's `test1`
+    flag); step 7 removes comparative/superlative endings."""
+    w = word.translate(_EL_PRELUDE)
+    if len(w) < 4:
+        return w
+    test1 = True
+
+    hit = _EL_STEP1.get(w)
+    if hit is not None:
+        return hit
+
+    # step 2a: -αδεσ/-αδων (plural of -ασ nouns)
+    stem, suf = _el_strip(w, ("αδεσ", "αδων"))
+    if suf:
+        w = stem if stem in _EL_EX_2A else stem + "αδ"
+    # step 2b: -εδεσ/-εδων
+    stem, suf = _el_strip(w, ("εδεσ", "εδων"))
+    if suf:
+        w = stem + "εδ" if stem.endswith(_EL_EX_2B_END) else stem
+    # step 2c: -ουδεσ/-ουδων
+    stem, suf = _el_strip(w, ("ουδεσ", "ουδων"))
+    if suf:
+        w = stem + "ουδ" if stem.endswith(_EL_EX_2C_END) else stem
+    # step 2d: -εωσ/-εων (3rd-declension genitives)
+    stem, suf = _el_strip(w, ("εωσ", "εων"))
+    if suf:
+        test1 = False
+        w = stem + "ε" if stem in _EL_EX_2D else stem
+
+    # step 3: -ια/-ιου/-ιων; re-attach ι after a vowel stem
+    stem, suf = _el_strip(w, ("ιων", "ιου", "ια"))
+    if suf:
+        test1 = False
+        w = stem + "ι" if (stem and stem[-1] in _EL_VOWELS) else stem
+
+    # step 4: -ικα/-ικο/-ικου/-ικων; re-attach ικ after vowels/known stems
+    stem, suf = _el_strip(w, ("ικων", "ικου", "ικα", "ικο"))
+    if suf:
+        test1 = False
+        if (stem and stem[-1] in _EL_VOWELS) or stem in _EL_EX_4:
+            w = stem + "ικ"
+        else:
+            w = stem
+
+    # step 5a: -αμε family
+    if w == "αγαμε":
+        w = "αγαμ"
+    stem, suf = _el_strip(w, ("ηθηκαμε", "ουσαμε", "ησαμε", "ηκαμε",
+                              "αγαμε"))
+    if suf:
+        test1 = False
+        w = stem
+    stem, suf = _el_strip(w, ("αμε",))
+    if suf:
+        test1 = False
+        w = stem + "αμ" if stem in _EL_EX_5A else stem
+
+    # step 5b: -ανε family
+    stem, suf = _el_strip(w, ("ηθηκανε", "ιουντανε", "ιοντανε",
+                              "ουντανε", "ουσανε", "ιοτανε", "οντανε",
+                              "ησανε", "αγανε", "ηκανε", "οτανε"))
+    if suf:
+        test1 = False
+        w = stem + "αγαν" if stem in _EL_EX_5B1 else stem
+    stem, suf = _el_strip(w, ("ανε",))
+    if suf:
+        test1 = False
+        if (stem and stem[-1] in _EL_VOWELS2) or stem in _EL_EX_5B2:
+            w = stem + "αν"
+        else:
+            w = stem
+
+    # step 5c: -ετε family
+    stem, suf = _el_strip(w, ("ησετε",))
+    if suf:
+        test1 = False
+        w = stem
+    stem, suf = _el_strip(w, ("ετε",))
+    if suf:
+        test1 = False
+        if ((stem and stem[-1] in _EL_VOWELS2) or stem in _EL_EX_5C
+                or stem.endswith(_EL_EX_5C_END)):
+            w = stem + "ετ"
+        else:
+            w = stem
+
+    # step 5d: -οντασ/-ωντασ (participles)
+    stem, suf = _el_strip(w, ("οντασ", "ωντασ"))
+    if suf:
+        test1 = False
+        if stem in _EL_EX_5D:
+            w = stem + "οντ"
+        elif stem.endswith("κρε"):
+            w = stem + "ωντ"
+        else:
+            w = stem
+
+    # step 5e: -ομαστε/-ιομαστε
+    stem, suf = _el_strip(w, ("ιομαστε", "ομαστε"))
+    if suf:
+        test1 = False
+        w = stem + "ομαστ" if stem in _EL_EX_5E else stem
+
+    # step 5f: -εστε family
+    stem, suf = _el_strip(w, ("ιεστε",))
+    if suf:
+        test1 = False
+        w = stem + "ιεστ" if stem in _EL_EX_5F1 else stem
+    stem, suf = _el_strip(w, ("εστε",))
+    if suf:
+        test1 = False
+        w = stem + "εστ" if stem in _EL_EX_5F2 else stem
+
+    # step 5g: -ηκα family (passive aorist)
+    stem, suf = _el_strip(w, ("ηθηκεσ", "ηθηκα", "ηθηκε"))
+    if suf:
+        test1 = False
+        w = stem
+    stem, suf = _el_strip(w, ("ηκεσ", "ηκα", "ηκε"))
+    if suf:
+        test1 = False
+        if stem in _EL_EX_5G1 or stem.endswith(_EL_EX_5G_END):
+            w = stem + "ηκ"
+        else:
+            w = stem
+
+    # step 5h: -ουσα family (imperfect / participle)
+    stem, suf = _el_strip(w, ("ουσεσ", "ουσα", "ουσε"))
+    if suf:
+        test1 = False
+        if stem in _EL_EX_5H or stem.endswith(_EL_EX_5H_END):
+            w = stem + "ουσ"
+        else:
+            w = stem
+
+    # step 5i: -αγα family
+    stem, suf = _el_strip(w, ("αγεσ", "αγα", "αγε"))
+    if suf:
+        test1 = False
+        if stem.endswith("κολλ"):
+            w = stem + "αγ"
+        elif stem in _EL_EX_5I and stem not in _EL_EX_5I_NOT:
+            w = stem + "αγ"
+        else:
+            w = stem
+
+    # step 5j: -ησε/-ησου/-ησα
+    stem, suf = _el_strip(w, ("ησου", "ησε", "ησα"))
+    if suf:
+        test1 = False
+        w = stem + "ησ" if stem in _EL_EX_5J else stem
+
+    # step 5k: -ηστε
+    stem, suf = _el_strip(w, ("ηστε",))
+    if suf:
+        test1 = False
+        w = stem + "ηστ" if stem in _EL_EX_5K else stem
+
+    # step 5l: -ουνε family
+    stem, suf = _el_strip(w, ("ηθουνε", "ησουνε", "ουνε"))
+    if suf:
+        test1 = False
+        if suf == "ουνε" and stem in _EL_EX_5L:
+            w = stem + "ουν"
+        else:
+            w = stem
+
+    # step 5m: -ουμε family
+    stem, suf = _el_strip(w, ("ηθουμε", "ησουμε", "ουμε"))
+    if suf:
+        test1 = False
+        if suf == "ουμε" and stem in _EL_EX_5M:
+            w = stem + "ουμ"
+        else:
+            w = stem
+
+    # step 6 part 1: -ματα/-ματων/-ματοσ → -μα (neuter -μα nouns)
+    stem, suf = _el_strip(w, ("ματων", "ματοσ", "ματα"))
+    if suf:
+        w = stem + "μα"
+    # step 6 part 2: regular inflectional endings, only if no verb rule
+    if test1:
+        stem, suf = _el_strip(w, _EL_STEP6)
+        if suf:
+            w = stem
+
+    # step 7: comparatives / superlatives
+    stem, suf = _el_strip(w, _EL_STEP7)
+    if suf:
+        w = stem
     return w
 
 

@@ -271,9 +271,28 @@ class TestTurkish:
 
 class TestGreek:
     @pytest.mark.parametrize("word,stem", [
-        ("βιβλια", "βιβλ"), ("βιβλιο", "βιβλ"),
+        # step 6 regular inflection (nominative -ιο keeps its ι: only
+        # -ια/-ιου/-ιων are a step-3 rule in the published algorithm)
+        ("βιβλια", "βιβλ"), ("βιβλιο", "βιβλι"),
         ("ανθρωπων", "ανθρωπ"), ("ανθρωποσ", "ανθρωπ"),
         ("θαλασσα", "θαλασσ"), ("παιδια", "παιδ"),
+        # step 1 irregular table
+        ("φαγια", "φα"), ("κρεατα", "κρε"), ("φωτων", "φω"),
+        ("γεγονοτα", "γεγον"), ("καθεστωτοσ", "καθεστ"),
+        # step 2a kinship exception vs default -αδ re-attachment
+        ("γιαγιαδεσ", "γιαγ"), ("παπαδεσ", "παπαδ"),
+        # step 3 vowel re-attachment
+        ("τελεια", "τελει"), ("χωρια", "χωρ"),
+        # step 5 verb endings (test1 gate: no step-6 double strip)
+        ("αγαπηθηκαμε", "αγαπ"), ("τρεχουσαμε", "τρεχ"),
+        ("παιζοντασ", "παιζ"), ("γραφουν", "γραφ"),
+        # step 6 part 1: -ματα nouns keep -μα
+        ("προβληματα", "προβλημ"), ("ονοματων", "ονομ"),
+        # step 7 comparatives
+        ("ομορφοτερη", "ομορφ"), ("καλυτεροσ", "καλ"),
+        ("μεγαλυτερων", "μεγαλ"),
+        # <4 letters untouched
+        ("και", "και"),
     ])
     def test_vectors(self, word, stem):
         from tantivy_ray.analyzer.snowball_langs import greek_stem
