@@ -42,6 +42,13 @@ from .minhash import MinHasher
 # broadcast the df map only while it plausibly fits in worker heaps
 DEFAULT_BROADCAST_VOCAB_CAP = 5_000_000
 
+# the verify shuffle groups by prefix-hash bucket, not by distinct
+# prefix: per-group dispatch overhead is paid NUM_VERIFY_BUCKETS times
+# instead of once per distinct prefix element (~15 per doc).  Power of
+# two (bucket = low bits of the hash); sized so one bucket's rows fit a
+# worker heap comfortably even at 100-TB corpus scale.
+NUM_VERIFY_BUCKETS = 512
+
 
 def _hash_shingles(shingles) -> np.ndarray:
     """Sorted unique uint64 hashes of a doc's shingle strings."""
@@ -85,28 +92,35 @@ def jaccard_allpairs_prefix(ds, text_col: str = "text",
                           **remote_args()).materialize()
 
     # global shingle doc-frequencies (one linear exchange); broadcast as
-    # the canonical rarity order when the vocab fits
+    # the canonical rarity order when the vocab fits.  The uint64 hash
+    # is reinterpreted as int64 for the exchange key — Ray's aggregate
+    # otherwise falls back to pickling top-bit-set values (bijective, so
+    # group identity is unchanged).
     def explode(batch: pa.Table):
         col = batch.column("sh").combine_chunks()
         flat = col.flatten()
-        return pa.table({"h": flat})
+        return pa.table({"h": flat.view(pa.int64())})
 
     from ray.data.aggregate import Count
 
     dfs = (docs.map_batches(explode, batch_format="pyarrow",
                             **remote_args())
-           .groupby("h").aggregate(Count(alias_name="df")))
+           .groupby("h").aggregate(Count(alias_name="df"))
+           .materialize())  # count() + to_pandas() must not re-execute
     vocab = dfs.count()
     rank_ref: Optional[object] = None
     if vocab <= broadcast_vocab_cap:
         dft = dfs.to_pandas()
-        order = np.lexsort((dft["h"].to_numpy(np.uint64),
-                            dft["df"].to_numpy(np.int64)))
-        hs = dft["h"].to_numpy(np.uint64)[order]
-        # rank position IS the canonical order; docs look ranks up via
-        # one vectorized searchsorted against the broadcast sorted keys
-        rank_of_sorted = np.empty(len(hs), dtype=np.int64)
-        rank_of_sorted[np.argsort(hs, kind="stable")] = np.arange(len(hs))
+        h_u64 = dft["h"].to_numpy(np.int64).view(np.uint64)
+        order = np.lexsort((h_u64, dft["df"].to_numpy(np.int64)))
+        hs = h_u64[order]  # hashes in rarity (df asc) order
+        # docs look ranks up via one vectorized searchsorted against the
+        # broadcast hash-sorted keys: rank_of_sorted[k] must be the
+        # RARITY rank of the k-th smallest hash — i.e. argsort(hs), NOT
+        # its inverse permutation (the inverse is still a consistent
+        # total order, so results stay exact, but it puts COMMON
+        # shingles in prefixes and blows up candidate-group sizes)
+        rank_of_sorted = np.argsort(hs, kind="stable")
         rank_ref = ray.put((np.sort(hs), rank_of_sorted))
 
     def prefix_stage(batch: pa.Table) -> pa.Table:
@@ -145,49 +159,87 @@ def jaccard_allpairs_prefix(ds, text_col: str = "text",
             [None, pa.py_buffer(off64.astype(np.int64).tobytes()),
              pa.py_buffer(flat.tobytes())])
         sel_rows = row_of[mask]
+        pm = flat[mask]
         return pa.table({
-            "p": pa.array(flat[mask], type=pa.uint64()),
+            # int64 views of the prefix hash: exact group identity with
+            # no uint64 pickle fallback in the exchange.  "pb" buckets
+            # the shuffle into NUM_VERIFY_BUCKETS groups so map_groups
+            # pays per-bucket (not per-distinct-prefix) overhead; the
+            # verifier re-splits by exact "p" inside each bucket.
+            "pb": pa.array((pm & np.uint64(NUM_VERIFY_BUCKETS - 1))
+                           .astype(np.int64), type=pa.int64()),
+            "p": pa.array(pm.view(np.int64), type=pa.int64()),
             id_col: pa.array(ids[sel_rows].astype(np.int64),
                              type=pa.int64()),
             "n": pa.array(n[sel_rows], type=pa.int64()),
+            # 0-indexed position of this prefix element in the doc's
+            # canonically-ordered set — feeds the positional filter
+            "pos": pa.array(pos[mask], type=pa.int64()),
             "set": blobs.take(pa.array(sel_rows, type=pa.int64())),
         })
 
     exploded = docs.map_batches(prefix_stage, batch_format="pyarrow",
                                 **remote_args())
 
-    def verify_group(g) -> "pa.Table":
+    def verify_bucket(g) -> "pa.Table":
         import pandas as pd
 
+        p = g["p"].to_numpy()
         ids = g[id_col].to_numpy()
         ns = g["n"].to_numpy()
-        blobs = list(g["set"])
+        poss = g["pos"].to_numpy()
+        blobs = g["set"].to_numpy()
+        # run-split by exact prefix value; doc-id order inside each run
+        # makes pair emission deterministic.  Singleton runs (the vast
+        # majority — most prefix elements are unique corpus-wide) are
+        # skipped wholesale.
+        order = np.lexsort((ids, p))
+        p_s = p[order]
+        starts = np.flatnonzero(np.concatenate(([True], p_s[1:] != p_s[:-1])))
+        ends = np.concatenate((starts[1:], [len(p_s)]))
         out_a, out_b, out_j = [], [], []
-        k = len(ids)
-        order = np.argsort(ids)
-        for ii in range(k):
-            i = order[ii]
-            a = np.frombuffer(blobs[i], dtype=np.uint64)
-            for jj in range(ii + 1, k):
-                j = order[jj]
-                if ids[i] == ids[j]:
-                    continue
-                na, nb = int(ns[i]), int(ns[j])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = order[s:e]
+            ids_r = ids[run]
+            ns_r = ns[run].astype(np.float64)
+            pos_r = poss[run]
+            k = len(run)
+            for ii in range(k - 1):
+                na = ns_r[ii]
+                nb = ns_r[ii + 1:]
                 # lossless length filter: J >= t → min >= t * max
-                if min(na, nb) < threshold * max(na, nb):
+                ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+                # PPJoin positional filter (Xiao et al.): overlap is
+                # bounded by min(na - pa, nb - pb) when this is the
+                # pair's FIRST shared prefix element; J >= t needs
+                # overlap >= t/(1+t)*(na+nb).  A pair wrongly pruned
+                # here on a LATER shared element (where the bound does
+                # not hold) still verifies in its first element's run —
+                # the union over runs loses nothing.
+                ub = np.minimum(na - pos_r[ii], nb - pos_r[ii + 1:])
+                alpha = threshold / (1.0 + threshold) * (na + nb)
+                ok &= ub >= alpha - 1e-7
+                ok &= ids_r[ii + 1:] != ids_r[ii]
+                if not ok.any():
                     continue
-                b = np.frombuffer(blobs[j], dtype=np.uint64)
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                union = na + nb - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    x, y = sorted((int(ids[i]), int(ids[j])))
-                    out_a.append(x)
-                    out_b.append(y)
-                    out_j.append(round(jac, 6))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+                a = np.frombuffer(blobs[run[ii]], dtype=np.uint64)
+                for jj in np.flatnonzero(ok) + ii + 1:
+                    j = run[jj]
+                    b = np.frombuffer(blobs[j], dtype=np.uint64)
+                    inter = len(np.intersect1d(a, b, assume_unique=True))
+                    union = int(na) + int(ns[j]) - inter
+                    jac = inter / union if union else 0.0
+                    if jac >= threshold:
+                        x, y = sorted((int(ids_r[ii]), int(ids[j])))
+                        out_a.append(x)
+                        out_b.append(y)
+                        out_j.append(round(jac, 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "jaccard": out_j})
 
-    pairs = exploded.groupby("p").map_groups(verify_group)
+    pairs = exploded.groupby("pb").map_groups(verify_bucket)
 
     # distributed pair dedup (identical verdict in every shared group):
     # sort co-locates duplicates, block-local drop_duplicates finishes
