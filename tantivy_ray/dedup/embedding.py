@@ -49,6 +49,17 @@ def _vec_matrix(col) -> np.ndarray:
     return flat.reshape(n, int(widths[0]))
 
 
+def _list_array(mn: np.ndarray) -> pa.ListArray:
+    """(n, dim) matrix → list<float64> array from the flat buffer — no
+    per-row python materialization."""
+    n, dim = mn.shape
+    offsets = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(np.ascontiguousarray(mn, dtype=np.float64).ravel(),
+                 type=pa.float64()))
+
+
 def _normalize_stage(vec_col: str, id_col: str):
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -60,36 +71,48 @@ def _normalize_stage(vec_col: str, id_col: str):
         mn = m / norms
         return pa.table({
             id_col: pa.array(ids, type=pa.int64()),
-            vec_col: pa.array(list(mn), type=pa.list_(pa.float64())),
+            vec_col: _list_array(mn),
         })
 
     return fn
 
 
 def _block_pairs_task(ids_a, m_a, ids_b, m_b, same: bool,
-                      threshold: float) -> List[Tuple[int, int, float]]:
+                      threshold: float) -> Tuple[np.ndarray, ...]:
+    """→ (id_a, id_b, cos) arrays for pairs at/above threshold.  The
+    threshold mask is applied to the cosine MATRIX before any index
+    enumeration (triu_indices / meshgrid over all n² pairs cost ~15×
+    the matmul itself — measured 3.4 s vs 0.23 s at 4096²)."""
     cos = m_a @ m_b.T
+    hit = cos >= threshold
     if same:
-        iu, ju = np.triu_indices(len(ids_a), k=1)
-    else:
-        iu, ju = np.meshgrid(np.arange(len(ids_a)), np.arange(len(ids_b)),
-                             indexing="ij")
-        iu, ju = iu.ravel(), ju.ravel()
+        # upper triangle only: zero the diagonal and below
+        hit &= np.arange(len(ids_a))[:, None] < np.arange(len(ids_b))[None, :]
+    iu, ju = np.nonzero(hit)
+    if len(iu) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.float64)
     vals = cos[iu, ju]
-    mask = vals >= threshold
-    rows = []
-    for i, j, c in zip(iu[mask], ju[mask], vals[mask]):
-        a, b = sorted((int(ids_a[i]), int(ids_b[j])))
-        rows.append((a, b, float(c)))
-    return rows
+    ra, rb = ids_a[iu].astype(np.int64), ids_b[ju].astype(np.int64)
+    return np.minimum(ra, rb), np.maximum(ra, rb), vals
 
 
-def _pairs_table(rows: List[Tuple[int, int, float]]) -> pa.Table:
-    rows.sort()
+def _pairs_table(chunks: List[Tuple[np.ndarray, ...]]) -> pa.Table:
+    """Concatenate (id_a, id_b, cos) array chunks into the sorted pair
+    table (lexsort — no python tuple churn)."""
+    chunks = [c for c in chunks if len(c[0])]
+    if not chunks:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
+    a = np.concatenate([c[0] for c in chunks])
+    b = np.concatenate([c[1] for c in chunks])
+    c_ = np.concatenate([c[2] for c in chunks])
+    order = np.lexsort((c_, b, a))
     return pa.table({
-        "id_a": pa.array([r[0] for r in rows], type=pa.int64()),
-        "id_b": pa.array([r[1] for r in rows], type=pa.int64()),
-        "cos": pa.array([round(r[2], 6) for r in rows], type=pa.float64()),
+        "id_a": pa.array(a[order], type=pa.int64()),
+        "id_b": pa.array(b[order], type=pa.int64()),
+        "cos": pa.array(np.round(c_[order], 6), type=pa.float64()),
     })
 
 
@@ -144,7 +167,8 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
         ids_a, m_a = blk_a
         ids_b, m_b = blk_b
         if len(ids_a) == 0 or len(ids_b) == 0:
-            return []
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.float64)
         return _block_pairs_task(ids_a, m_a, ids_b, m_b, same, threshold)
 
     env = remote_args()
@@ -157,10 +181,7 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id",
         for j in range(i, len(mat_refs)):
             tasks.append(pair_task.options(**env).remote(
                 mat_refs[i], mat_refs[j], i == j, threshold))
-    rows: List[Tuple[int, int, float]] = []
-    for chunk in ray.get(tasks):
-        rows.extend(chunk)
-    return _pairs_table(rows)
+    return _pairs_table(ray.get(tasks))
 
 
 LSH_TARGET_RECALL = 0.95
@@ -241,7 +262,7 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
             out_bucket.append(codes + (np.int64(t) << np.int64(
                 min(62, lsh_bits))))
             out_ids.append(ids)
-        vec_arr = pa.array(list(mn), type=pa.list_(pa.float64()))
+        vec_arr = _list_array(mn)
         return pa.table({
             "bucket": pa.array(np.concatenate(out_bucket), type=pa.int64()),
             id_col: pa.array(np.concatenate(out_ids), type=pa.int64()),
@@ -273,19 +294,13 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
             return empty
         ids = tbl.column(id_col).to_numpy()
         m = _vec_matrix(tbl.column(vec_col))
-        rows = []
-        for s, e in zip(starts[multi], ends[multi]):
-            rows.extend(_block_pairs_task(ids[s:e], m[s:e],
-                                          ids[s:e], m[s:e],
-                                          True, threshold))
-        if not rows:
+        chunks = [_block_pairs_task(ids[s:e], m[s:e], ids[s:e], m[s:e],
+                                    True, threshold)
+                  for s, e in zip(starts[multi], ends[multi])]
+        out = _pairs_table(chunks)
+        if out.num_rows == 0:
             return empty
-        return pa.table({
-            "id_a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "id_b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "cos": pa.array([round(r[2], 6) for r in rows],
-                            type=pa.float64()),
-        })
+        return out
 
     def block_dedup(tbl: pa.Table) -> pa.Table:
         """Per-block pair dedup after sort(id_a, id_b): the same pair
@@ -309,6 +324,6 @@ def _lsh_pairs(ds, id_col: str, vec_col: str, threshold: float,
            .map_batches(block_dedup, batch_size=None,
                         batch_format="pyarrow", **remote_args())
            .to_pandas().drop_duplicates(ignore_index=True))
-    rows = [(int(a), int(b), float(c))
-            for a, b, c in pdf.itertuples(index=False)]
-    return _pairs_table(rows)
+    return _pairs_table([(pdf["id_a"].to_numpy().astype(np.int64),
+                          pdf["id_b"].to_numpy().astype(np.int64),
+                          pdf["cos"].to_numpy().astype(np.float64))])

@@ -87,6 +87,47 @@ def affine_min_hash(hashes: np.ndarray, a: np.ndarray, b: np.ndarray,
     return out
 
 
+def segment_pairs(starts: np.ndarray, ends: np.ndarray):
+    """All (i, j) index pairs with starts[g] <= i < j < ends[g] for every
+    segment g — fully vectorized (no per-segment python).  Feeds the
+    bucket-pair stages: after a sort(bucket), each bucket is a segment
+    and its candidate pairs are one repeat/cumsum gather."""
+    sizes = np.asarray(ends, dtype=np.int64) - np.asarray(starts,
+                                                          dtype=np.int64)
+    total_rows = int(sizes.sum())
+    e = np.empty(0, dtype=np.int64)
+    if total_rows == 0:
+        return e, e
+    before_rows = np.cumsum(sizes) - sizes
+    row_local = (np.arange(total_rows, dtype=np.int64)
+                 - np.repeat(before_rows, sizes))
+    row_global = np.repeat(np.asarray(starts, dtype=np.int64), sizes) \
+        + row_local
+    # row r (local) is the left element of (size - 1 - r) pairs
+    counts = np.repeat(sizes, sizes) - 1 - row_local
+    total_pairs = int(counts.sum())
+    if total_pairs == 0:
+        return e, e
+    i_idx = np.repeat(row_global, counts)
+    before_pairs = np.cumsum(counts) - counts
+    j_idx = i_idx + 1 + (np.arange(total_pairs, dtype=np.int64)
+                         - np.repeat(before_pairs, counts))
+    return i_idx, j_idx
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no
+    bitwise_count; a 256-entry byte table covers it at C speed)."""
+    if len(x) == 0:
+        return np.empty(0, dtype=np.int64)
+    return _POP8[np.ascontiguousarray(x).view(np.uint8)].reshape(
+        -1, 8).sum(axis=1, dtype=np.int64)
+
+
 _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 

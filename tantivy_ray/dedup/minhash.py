@@ -34,7 +34,8 @@ import pyarrow as pa
 
 from ..analyzer import analyze_batch
 from ..utils import remote_args
-from .hashing import P61, affine_min_hash, band_keys, hash_strings64
+from .hashing import (P61, affine_min_hash, band_keys, hash_strings64,
+                      segment_pairs)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -229,36 +230,34 @@ def _make_shingle_stage(needed_ref, text_col: str, id_col: str,
 
 
 def _bucket_pairs_block(tbl: pa.Table, id_col: str) -> pa.Table:
-    """All candidate pairs in one bkey-sorted block.  Singleton buckets
-    (the vast majority) are skipped vectorized; only real buckets loop."""
+    """All candidate pairs in one bkey-sorted block, fully vectorized:
+    one (bkey, id) lexsort dedups repeated ids per bucket, then
+    segment_pairs enumerates every within-bucket pair in one gather (no
+    per-bucket python — the round-4 version looped real buckets)."""
     n = tbl.num_rows
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64())})
     if n == 0:
         return empty
     k = tbl.column("bkey").to_numpy()
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    change[1:] = k[1:] != k[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], n)
-    multi = (ends - starts) >= 2
-    if not multi.any():
-        return empty
     ids_np = tbl.column(id_col).to_numpy()
-    a_out, b_out = [], []
-    for s, e in zip(starts[multi], ends[multi]):
-        ids = np.unique(ids_np[s:e])
-        if len(ids) < 2:
-            continue
-        iu, ju = np.triu_indices(len(ids), k=1)
-        a_out.append(ids[iu])
-        b_out.append(ids[ju])
-    if not a_out:
+    order = np.lexsort((ids_np, k))
+    k2, i2 = k[order], ids_np[order]
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    keep[1:] = (k2[1:] != k2[:-1]) | (i2[1:] != i2[:-1])
+    k3, i3 = k2[keep], i2[keep]
+    change = np.empty(len(k3), dtype=bool)
+    change[0] = True
+    change[1:] = k3[1:] != k3[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(k3))
+    ii, jj = segment_pairs(starts, ends)
+    if len(ii) == 0:
         return empty
     return pa.table({
-        "id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
-        "id_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+        "id_a": pa.array(i3[ii].astype(np.int64), type=pa.int64()),
+        "id_b": pa.array(i3[jj].astype(np.int64), type=pa.int64()),
     })
 
 
@@ -427,17 +426,34 @@ def _fused_verify(ds, cand, text_col: str, id_col: str, threshold: float,
                                         schema=out_schema)
         sub = batch.take(pa.array(sel, type=pa.int64()))
         out = analyze_batch(sub.column(text_col), analyzer)
-        hashes_all, sh_s, sh_e = _shingle_hash_ranges(out.tokens,
-                                                      shingle_w)
-        pair_out, hash_out = [], []
-        for row, i in enumerate(sel):
-            uniq = np.unique(hashes_all[sh_s[row]:sh_e[row]])
-            for j in range(lo[i], hi[i]):
-                pair_out.append(int(pcode_s[j]))
-                hash_out.append(uniq)
+        # per-doc UNIQUE hash lists (one lexsort dedup for the batch)
+        hl = _unique_hash_lists(out.tokens, shingle_w)
+        d_offs = hl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        d_flat = hl.values.to_numpy(zero_copy_only=False)
+        d_lens = np.diff(d_offs)
+        # fan each doc row to its [lo, hi) pair slots — one arange gather
+        rep = (hi - lo)[sel]
+        slot_idx = (np.repeat(lo[sel], rep)
+                    + np.arange(int(rep.sum()), dtype=np.int64)
+                    - np.repeat(np.cumsum(rep) - rep, rep))
+        pair_arr = pcode_s[slot_idx]
+        row_rep = np.repeat(np.arange(len(sel), dtype=np.int64), rep)
+        out_lens = d_lens[row_rep]
+        total = int(out_lens.sum())
+        out_offsets = np.zeros(len(row_rep) + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=out_offsets[1:])
+        if total:
+            gidx = (np.repeat(d_offs[row_rep], out_lens)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(out_offsets[:-1], out_lens))
+            out_flat = d_flat[gidx]
+        else:
+            out_flat = np.empty(0, dtype=np.uint64)
         return pa.table({
-            "pair": pa.array(pair_out, type=pa.int64()),
-            "hashes": pa.array(hash_out, type=pa.list_(pa.uint64())),
+            "pair": pa.array(pair_arr, type=pa.int64()),
+            "hashes": pa.ListArray.from_arrays(
+                pa.array(out_offsets, type=pa.int32()),
+                pa.array(out_flat, type=pa.uint64())),
         })
 
     fan = ds.map_batches(fanout, batch_format="pyarrow", **remote_args())

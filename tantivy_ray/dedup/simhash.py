@@ -6,10 +6,15 @@ is the fingerprint bit.  Shingles (not unigram tfs) keep the feature set
 sparse and near-unique, so a few edited tokens move only a few of ~n
 contributions per bit — expected Hamming distance ≈ 64·θ/π where θ is the
 angle between feature sets (jaccard 0.95 ⇒ ≈4-5 bits).  Near-dups = pairs
-with Hamming distance <= k.  Candidate generation uses (k+1) bit-bands:
-two fingerprints within distance k share at least one identical band
-(pigeonhole), so banding is RECALL-EXACT for the distance threshold —
-unlike MinHash banding there is no probabilistic miss.
+with Hamming distance <= k.  Candidate generation uses Manku-style
+piece-PAIR tables (Detecting Near-Duplicates for Web Crawling, WWW'07):
+the 64 bits split into (k+2) pieces and each of the C(k+2, 2) piece
+pairs keys one bucket table.  Two fingerprints within distance k differ
+in at most k pieces, so at least 2 pieces are intact and the pair
+shares that piece-pair's bucket — RECALL-EXACT for the distance
+threshold (unlike MinHash banding there is no probabilistic miss), with
+~2x the key bits of plain (k+1)-band pigeonhole (at k=10: ~11-bit keys
+instead of 5-bit, ~9x fewer candidate pairs at 50k docs, measured).
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import pyarrow as pa
 
 from ..analyzer import analyze_batch
 from ..utils import remote_args
-from .hashing import hash_strings64
+from .hashing import hash_strings64, popcount64, segment_pairs
 
 
 class SimHasher:
@@ -69,6 +74,49 @@ class SimHasher:
         out[nonempty] = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1)
         return out
 
+    def fingerprints_from_analyzed(self, tokens: pa.ListArray) -> np.ndarray:
+        """(D,) uint64 fingerprints straight from an AnalyzedBatch token
+        ListArray — no per-document python.  Feature set is identical to
+        ``features()``: unique token w-gram shingles (via the shared
+        arrow shingle join + lexsort dedup), or the single whole-doc
+        join for docs shorter than w tokens (whose 1-feature fingerprint
+        is the feature hash itself — every bit vote is that bit)."""
+        import pyarrow.compute as pc
+
+        from .minhash import _unique_hash_lists
+
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        n = len(tokens)
+        out = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return out
+        tok_counts = np.diff(
+            tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        hl = _unique_hash_lists(tokens, self.shingle_w)
+        offs = hl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = hl.values.to_numpy(zero_copy_only=False)
+        feat_counts = np.diff(offs)
+        long_docs = np.flatnonzero(feat_counts > 0)
+        if len(long_docs):
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.int32)          # (S, 64)
+            ones = np.add.reduceat(bits, offs[long_docs], axis=0)
+            pos = (2 * ones) > feat_counts[long_docs][:, None]
+            weights = np.left_shift(np.uint64(1),
+                                    np.arange(64, dtype=np.uint64))
+            out[long_docs] = (pos.astype(np.uint64)
+                              * weights[None, :]).sum(axis=1)
+        short = np.flatnonzero((tok_counts > 0)
+                               & (tok_counts < self.shingle_w))
+        if len(short):
+            joined = pc.binary_join(
+                tokens.take(pa.array(short, type=pa.int64())),
+                pa.scalar(" "))
+            out[short] = hash_strings64(
+                joined.to_numpy(zero_copy_only=False))
+        return out
+
     def fingerprint(self, tokens: List[str]) -> int:
         return int(self.fingerprints_batch([tokens])[0])
 
@@ -77,42 +125,73 @@ def hamming(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _piece_layout(n_pieces: int):
+    """Bit widths + offsets splitting 64 bits into ``n_pieces`` pieces
+    (the remainder bits widen the leading pieces by one)."""
+    base, rem = divmod(64, n_pieces)
+    widths = np.full(n_pieces, base, dtype=np.int64)
+    widths[:rem] += 1
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    return widths, offsets
+
+
 def simhash_pairs(ds, text_col="text", id_col="doc_id",
                   max_distance: int = 10, analyzer: str = "default") -> pa.Table:
-    """→ (id_a, id_b, distance) pairs with Hamming distance <= max_distance."""
+    """→ (id_a, id_b, distance) pairs with Hamming distance <= max_distance.
+
+    Candidates come from C(k+2, 2) piece-pair tables (module docstring);
+    each table's key packs both pieces plus the table index, so buckets
+    never collide across tables."""
+    from itertools import combinations
+
+    if not 0 <= max_distance <= 62:
+        raise ValueError("max_distance must be in [0, 62] (the piece-pair "
+                         "pigeonhole needs k+2 <= 64 pieces)")
     hasher = SimHasher()
-    n_bands = max_distance + 1
-    band_bits = 64 // n_bands
+    n_pieces = max_distance + 2
+    widths, offsets = _piece_layout(n_pieces)
+    combos = list(combinations(range(n_pieces), 2))
 
     def stage(batch: pa.Table) -> pa.Table:
         out = analyze_batch(batch.column(text_col), analyzer)
         ids = batch.column(id_col).cast(pa.int64()).to_numpy()
-        token_lists = out.tokens.to_pylist()
-        nonempty = np.array([bool(t) for t in token_lists], dtype=bool)
-        idx = np.flatnonzero(nonempty)
+        tokens = out.tokens
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        tok_counts = np.diff(
+            tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        idx = np.flatnonzero(tok_counts > 0)
         if len(idx) == 0:
             return pa.table({"band_key": pa.array([], type=pa.uint64()),
                              id_col: pa.array([], type=pa.int64()),
                              "fp": pa.array([], type=pa.uint64())})
-        fps = hasher.fingerprints_batch([token_lists[i] for i in idx])
-        # vectorized banding: band b's bits, keyed with the band index
-        mask = np.uint64((1 << band_bits) - 1)
-        parts = np.stack([
-            (fps >> np.uint64(b * band_bits)) & mask for b in range(n_bands)
-        ], axis=1)                                    # (D, n_bands)
-        band_ids = np.arange(n_bands, dtype=np.uint64)[None, :]
-        keys = parts | (band_ids << np.uint64(band_bits))
+        fps = hasher.fingerprints_from_analyzed(tokens)[idx]
+        pieces = np.stack([
+            (fps >> np.uint64(offsets[p]))
+            & np.uint64((1 << widths[p]) - 1) for p in range(n_pieces)
+        ], axis=1)                                    # (D, n_pieces)
+        keys = np.empty((len(fps), len(combos)), dtype=np.uint64)
+        for t, (p, q) in enumerate(combos):
+            keys[:, t] = (pieces[:, p]
+                          | (pieces[:, q] << np.uint64(widths[p]))
+                          | (np.uint64(t) << np.uint64(widths[p]
+                                                       + widths[q])))
         return pa.table({
             "band_key": pa.array(keys.ravel(), type=pa.uint64()),
-            id_col: pa.array(np.repeat(ids[idx], n_bands), type=pa.int64()),
-            "fp": pa.array(np.repeat(fps, n_bands), type=pa.uint64()),
+            id_col: pa.array(np.repeat(ids[idx], len(combos)),
+                             type=pa.int64()),
+            "fp": pa.array(np.repeat(fps, len(combos)), type=pa.uint64()),
         })
 
     banded = ds.map_batches(stage, batch_format="pyarrow", **remote_args())
 
     def bucket_pairs_block(tbl: pa.Table) -> pa.Table:
-        """All buckets in one band_key-sorted block; singleton buckets
-        (the vast majority) skipped vectorized."""
+        """All buckets in one band_key-sorted block, fully vectorized:
+        one (band_key, id, fp) lexsort dedups repeated rows, segment_pairs
+        enumerates within-bucket pairs, and one XOR + table popcount
+        applies the distance threshold — no per-bucket or per-pair
+        python (the round-4 version hammed pairs one python int at a
+        time)."""
         n = tbl.num_rows
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                           "id_b": pa.array([], type=pa.int64()),
@@ -120,31 +199,29 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id",
         if n == 0:
             return empty
         k = tbl.column("band_key").to_numpy()
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = k[1:] != k[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        multi = (ends - starts) >= 2
-        if not multi.any():
-            return empty
         ids_np = tbl.column(id_col).to_numpy()
         fps_np = tbl.column("fp").to_numpy()
-        a_out, b_out, d_out = [], [], []
-        for s, e in zip(starts[multi], ends[multi]):
-            items = sorted({(int(i), int(f))
-                            for i, f in zip(ids_np[s:e], fps_np[s:e])})
-            for x in range(len(items)):
-                for y in range(x + 1, len(items)):
-                    dist = hamming(items[x][1], items[y][1])
-                    if dist <= max_distance:
-                        a_out.append(items[x][0])
-                        b_out.append(items[y][0])
-                        d_out.append(dist)
+        order = np.lexsort((fps_np, ids_np, k))
+        k2, i2, f2 = k[order], ids_np[order], fps_np[order]
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        keep[1:] = (k2[1:] != k2[:-1]) | (i2[1:] != i2[:-1]) \
+            | (f2[1:] != f2[:-1])
+        k3, i3, f3 = k2[keep], i2[keep], f2[keep]
+        change = np.empty(len(k3), dtype=bool)
+        change[0] = True
+        change[1:] = k3[1:] != k3[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(k3))
+        ii, jj = segment_pairs(starts, ends)
+        if len(ii) == 0:
+            return empty
+        dist = popcount64(f3[ii] ^ f3[jj])
+        hit = np.flatnonzero(dist <= max_distance)
         return pa.table({
-            "id_a": pa.array(a_out, type=pa.int64()),
-            "id_b": pa.array(b_out, type=pa.int64()),
-            "distance": pa.array(d_out, type=pa.int64()),
+            "id_a": pa.array(i3[ii[hit]].astype(np.int64), type=pa.int64()),
+            "id_b": pa.array(i3[jj[hit]].astype(np.int64), type=pa.int64()),
+            "distance": pa.array(dist[hit], type=pa.int64()),
         })
 
     pairs = banded.sort("band_key").map_batches(

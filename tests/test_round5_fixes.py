@@ -331,3 +331,90 @@ class TestMultivaluedAggregations:
             aggs, {"k": np.array(["x", "y", "x"], dtype=object)}))
         bk = {x["key"]: x["doc_count"] for x in out["t"]["buckets"]}
         assert bk == {"x": 2, "y": 1}
+
+
+class TestVectorizedDedupKernels:
+    """Round-5 vectorization parity: the python-loop bucket/fingerprint
+    paths were replaced with segment_pairs / popcount64 / arrow-native
+    fingerprinting — these pin the new kernels to the old semantics."""
+
+    def test_segment_pairs_matches_triu(self):
+        import numpy as np
+
+        from tantivy_ray.dedup.hashing import segment_pairs
+
+        rng = np.random.RandomState(3)
+        sizes = rng.randint(0, 7, size=50)
+        starts = np.cumsum(sizes) - sizes
+        ends = starts + sizes
+        ii, jj = segment_pairs(starts, ends)
+        expect = []
+        for s, e in zip(starts, ends):
+            iu, ju = np.triu_indices(e - s, k=1)
+            expect.extend(zip((iu + s).tolist(), (ju + s).tolist()))
+        assert list(zip(ii.tolist(), jj.tolist())) == expect
+
+    def test_popcount64_matches_python(self):
+        import numpy as np
+
+        from tantivy_ray.dedup.hashing import popcount64
+
+        rng = np.random.RandomState(5)
+        x = rng.randint(0, 2**63, size=200).astype(np.uint64)
+        x[:3] = [0, 1, 2**64 - 1]
+        got = popcount64(x)
+        assert got.tolist() == [bin(int(v)).count("1") for v in x]
+
+    def test_simhash_analyzed_fingerprints_match_batch_path(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from tantivy_ray.dedup.simhash import SimHasher
+
+        rng = np.random.RandomState(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        token_lists = []
+        for n in [0, 1, 2, 3, 4, 9, 40, 2, 0, 17]:
+            token_lists.append(
+                [vocab[i] for i in rng.randint(0, len(vocab), size=n)])
+        hasher = SimHasher()
+        tokens = pa.array(token_lists, type=pa.list_(pa.string()))
+        got = hasher.fingerprints_from_analyzed(tokens)
+        # fingerprints_batch zero-fills empty docs; the analyzed path too
+        want = hasher.fingerprints_batch(token_lists)
+        assert got.tolist() == want.tolist()
+
+    def test_piece_pair_tables_cover_all_close_pairs(self):
+        """Pigeonhole property of the Manku piece-pair banding: any two
+        fingerprints within hamming distance k share at least one of the
+        C(k+2, 2) piece-pair bucket keys."""
+        from itertools import combinations
+
+        import numpy as np
+
+        from tantivy_ray.dedup.hashing import popcount64
+        from tantivy_ray.dedup.simhash import _piece_layout
+
+        rng = np.random.RandomState(7)
+        for k in [0, 1, 3, 10]:
+            n_pieces = k + 2
+            widths, offsets = _piece_layout(n_pieces)
+            combos = list(combinations(range(n_pieces), 2))
+
+            def keys_of(fp):
+                pieces = [(fp >> np.uint64(offsets[p]))
+                          & np.uint64((1 << widths[p]) - 1)
+                          for p in range(n_pieces)]
+                return {(t, int(pieces[p]), int(pieces[q]))
+                        for t, (p, q) in enumerate(combos)}
+
+            for _ in range(40):
+                a = np.uint64(rng.randint(0, 2**63))
+                flips = rng.choice(64, size=rng.randint(0, k + 1),
+                                   replace=False)
+                b = a
+                for f in flips:
+                    b = np.uint64(b ^ np.uint64(1 << int(f)))
+                d = int(popcount64(np.array([a ^ b]))[0])
+                assert d <= k
+                assert keys_of(a) & keys_of(b), (k, d)
