@@ -68,22 +68,25 @@ def affine_min_hash(hashes: np.ndarray, a: np.ndarray, b: np.ndarray,
     if len(hashes) == 0 or D == 0:
         return out
     x = fold61(hashes)  # bring into [0, p)
-    # (S, P) permuted matrix in bounded chunks to cap peak memory
     S = len(x)
-    chunk = max(1, (1 << 22) // max(P, 1))  # ~32 MB per chunk
-    perm = np.empty((S, P), dtype=np.uint64)
-    for s in range(0, S, chunk):
-        e = min(s + chunk, S)
-        perm[s:e] = fold61(mulmod61(a[None, :], x[s:e, None]) + b[None, :])
     # docs' shingle runs are contiguous by construction (concatenated in
     # doc order); np.minimum.reduceat needs non-empty segments, so reduce
     # over the non-empty docs only (their runs remain adjacent)
     nonempty = np.flatnonzero(ends > starts)
-    if len(nonempty):
-        ne_starts = starts[nonempty]
-        assert np.array_equal(ends[nonempty][:-1], ne_starts[1:]) \
-            and ends[nonempty][-1] == S, "shingle runs must be contiguous"
-        out[nonempty] = np.minimum.reduceat(perm, ne_starts, axis=0)
+    if not len(nonempty):
+        return out
+    ne_starts = starts[nonempty]
+    assert np.array_equal(ends[nonempty][:-1], ne_starts[1:]) \
+        and ends[nonempty][-1] == S, "shingle runs must be contiguous"
+    # chunk over PERMUTATION COLUMNS and reduce each chunk immediately:
+    # peak extra memory is one (S, chunk) slab (~32 MB) instead of the
+    # full (S, P) matrix (~P/chunk × that — real allocator churn when 32
+    # workers each hold a 300+ MB slab)
+    chunk = max(1, (1 << 22) // max(S, 1))
+    for p0 in range(0, P, chunk):
+        p1 = min(p0 + chunk, P)
+        perm = fold61(mulmod61(a[None, p0:p1], x[:, None]) + b[None, p0:p1])
+        out[nonempty, p0:p1] = np.minimum.reduceat(perm, ne_starts, axis=0)
     return out
 
 
@@ -91,7 +94,13 @@ def segment_pairs(starts: np.ndarray, ends: np.ndarray):
     """All (i, j) index pairs with starts[g] <= i < j < ends[g] for every
     segment g — fully vectorized (no per-segment python).  Feeds the
     bucket-pair stages: after a sort(bucket), each bucket is a segment
-    and its candidate pairs are one repeat/cumsum gather."""
+    and its candidate pairs are one repeat/cumsum gather.
+
+    Partitioning assumption (holds for ray.data sort): equal keys are
+    never split across sorted output blocks — range partitioning places
+    every row with key == boundary on the same side (value comparison
+    via find_partition_index, not positional), so a per-block scan sees
+    each bucket whole."""
     sizes = np.asarray(ends, dtype=np.int64) - np.asarray(starts,
                                                           dtype=np.int64)
     total_rows = int(sizes.sum())
