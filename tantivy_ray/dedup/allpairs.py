@@ -37,7 +37,7 @@ import pyarrow as pa
 
 from ..analyzer import analyze_batch
 from ..utils import remote_args
-from .minhash import MinHasher
+
 
 # broadcast the df map only while it plausibly fits in worker heaps
 DEFAULT_BROADCAST_VOCAB_CAP = 5_000_000
@@ -51,16 +51,17 @@ NUM_VERIFY_BUCKETS = 512
 
 
 def _hash_shingles(shingles) -> np.ndarray:
-    """Sorted unique uint64 hashes of a doc's shingle strings."""
+    """Sorted unique uint64 hashes of a doc's shingle strings (single-doc
+    helper for tests; the pipeline path hashes whole batches at once via
+    ``_unique_hash_lists``).  Jaccard over 64-bit hashes equals
+    string-set jaccard up to ~1e-13 collision odds regardless of the
+    hash family, so the family only shapes candidate groups, never the
+    verified pair set."""
     if not shingles:
         return np.empty(0, dtype=np.uint64)
-    import hashlib
+    from .hashing import hash_strings64
 
-    h = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "little") for s in shingles),
-        dtype=np.uint64, count=len(shingles))
-    return np.unique(h)
+    return np.unique(hash_strings64(list(shingles)))
 
 
 def _prefix_len(n: int, threshold: float) -> int:
@@ -79,13 +80,15 @@ def jaccard_allpairs_prefix(ds, text_col: str = "text",
     import ray.data as rd
 
     def shingle_stage(batch: pa.Table) -> pa.Table:
+        # whole-batch arrow shingle join + one vectorized hash + lexsort
+        # dedup — the per-doc hashlib.blake2b generator this replaces
+        # paid ~1 µs of python per shingle (~10M shingles at sf1)
+        from .minhash import _unique_hash_lists
+
         out = analyze_batch(batch.column(text_col), analyzer)
-        hashes = [_hash_shingles(MinHasher.shingles(t, shingle_w))
-                  for t in out.tokens.to_pylist()]
         return pa.table({
             id_col: batch.column(id_col).cast(pa.int64()),
-            "sh": pa.array([h.tolist() for h in hashes],
-                           type=pa.list_(pa.uint64())),
+            "sh": _unique_hash_lists(out.tokens, shingle_w),
         })
 
     docs = ds.map_batches(shingle_stage, batch_format="pyarrow",
