@@ -141,7 +141,10 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id",
 
     Candidates come from C(k+2, 2) piece-pair tables (module docstring);
     each table's key packs both pieces plus the table index, so buckets
-    never collide across tables."""
+    never collide across tables.  Row fan-out grows as C(k+2, 2) (66 at
+    the default k=10) — sized for the near-dup regime k ≲ 16; far
+    larger thresholds mean "almost everything pairs" and no banding
+    scheme saves the quadratic verify."""
     from itertools import combinations
 
     if not 0 <= max_distance <= 62:

@@ -418,3 +418,28 @@ class TestVectorizedDedupKernels:
                 d = int(popcount64(np.array([a ^ b]))[0])
                 assert d <= k
                 assert keys_of(a) & keys_of(b), (k, d)
+
+    def test_simhash_pairs_guards_and_small_k(self, ray_session):
+        """k=0 degenerates to one full-64-bit table (exact-dup pairs
+        only); out-of-range k raises."""
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from tantivy_ray.dedup.simhash import simhash_pairs
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([
+                "alpha beta gamma delta epsilon",
+                "alpha beta gamma delta epsilon",
+                "totally different words here now",
+                "yet another unrelated document text",
+            ]),
+        })
+        ds = rd.from_arrow(tbl)
+        out = simhash_pairs(ds, max_distance=0)
+        assert out.to_pydict() == {"id_a": [1], "id_b": [2],
+                                   "distance": [0]}
+        with pytest.raises(ValueError):
+            simhash_pairs(ds, max_distance=63)
