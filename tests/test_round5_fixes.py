@@ -443,3 +443,49 @@ class TestVectorizedDedupKernels:
                                    "distance": [0]}
         with pytest.raises(ValueError):
             simhash_pairs(ds, max_distance=63)
+
+    def test_simhash_pairs_match_bruteforce_random(self, ray_session):
+        """Full-pipeline recall-exactness of the piece-pair banding: on a
+        random mutated corpus, simhash_pairs equals brute-force all-pairs
+        popcount over the same fingerprints (banding may only prune, and
+        the pigeonhole guarantees it prunes nothing within distance k)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from tantivy_ray.analyzer import get_analyzer
+        from tantivy_ray.dedup.hashing import popcount64
+        from tantivy_ray.dedup.simhash import SimHasher, simhash_pairs
+
+        rng = np.random.RandomState(23)
+        vocab = [f"w{i}" for i in range(300)]
+        texts = []
+        for i in range(80):
+            base = [vocab[j] for j in rng.randint(0, 300, size=30)]
+            texts.append(" ".join(base))
+            if i % 3 == 0:  # planted near-dup: mutate a couple tokens
+                mut = list(base)
+                for p in rng.choice(30, size=2, replace=False):
+                    mut[p] = vocab[rng.randint(0, 300)]
+                texts.append(" ".join(mut))
+        ids = list(range(1, len(texts) + 1))
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts)}))
+        k = 10
+        got = simhash_pairs(ds, max_distance=k)
+        got_set = set(zip(got.column("id_a").to_pylist(),
+                          got.column("id_b").to_pylist(),
+                          got.column("distance").to_pylist()))
+        # independent brute force over the same analyzer+fingerprints
+        an = get_analyzer("default")
+        hasher = SimHasher()
+        fps = np.array(
+            [hasher.fingerprint([tok.text for tok in an.analyze(t)])
+             for t in texts], dtype=np.uint64)
+        want = set()
+        for i in range(len(ids)):
+            d = popcount64(fps[i] ^ fps[i + 1:])
+            for off in np.flatnonzero(d <= k):
+                want.add((ids[i], ids[i + 1 + off], int(d[off])))
+        assert got_set == want and len(want) > 10
