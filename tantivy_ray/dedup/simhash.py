@@ -7,18 +7,24 @@ sparse and near-unique, so a few edited tokens move only a few of ~n
 contributions per bit — expected Hamming distance ≈ 64·θ/π where θ is the
 angle between feature sets (jaccard 0.95 ⇒ ≈4-5 bits).  Near-dups = pairs
 with Hamming distance <= k.  Candidate generation uses Manku-style
-piece-PAIR tables (Detecting Near-Duplicates for Web Crawling, WWW'07):
-the 64 bits split into (k+2) pieces and each of the C(k+2, 2) piece
-pairs keys one bucket table.  Two fingerprints within distance k differ
-in at most k pieces, so at least 2 pieces are intact and the pair
-shares that piece-pair's bucket — RECALL-EXACT for the distance
-threshold (unlike MinHash banding there is no probabilistic miss), with
-~2x the key bits of plain (k+1)-band pigeonhole (at k=10: ~11-bit keys
-instead of 5-bit, ~9x fewer candidate pairs at 50k docs, measured).
+piece-combination tables (Detecting Near-Duplicates for Web Crawling,
+WWW'07 §3): the 64 bits split into (k+m) pieces and each of the
+C(k+m, m) size-m piece combinations keys one bucket table.  Two
+fingerprints within distance k differ in at most k pieces, so at least
+m pieces are intact and the pair shares that combination's bucket —
+RECALL-EXACT for the distance threshold (unlike MinHash banding there
+is no probabilistic miss).  m controls the scale trade-off exactly as
+in the paper: key width is ~m*64/(k+m) bits, so expected bucket size
+is N / 2^(m*64/(k+m)) — fixed m makes candidate volume quadratic in N,
+so ``simhash_pairs`` picks the smallest m >= 2 whose expected bucket
+stays below a constant (row fan-out grows as C(k+m, m), capped).  At
+k=10: m=2 → 66 tables / ~11-bit keys (fine to ~100k docs), m=3 → 286
+tables / ~16-bit keys (to ~2M docs), and so on.
 """
 
 from __future__ import annotations
 
+import math
 from typing import List
 
 import numpy as np
@@ -135,25 +141,55 @@ def _piece_layout(n_pieces: int):
     return widths, offsets
 
 
+SIMHASH_TARGET_BUCKET = 64.0
+SIMHASH_MAX_TABLES = 1024
+
+
+def _auto_m(n_docs: int, k: int, target_bucket: float = SIMHASH_TARGET_BUCKET,
+            max_tables: int = SIMHASH_MAX_TABLES) -> int:
+    """Smallest intact-piece count m >= 2 whose expected bucket size
+    N / 2^(m * 64//(k+m)) stays below ``target_bucket`` — fixed m makes
+    candidate volume quadratic in corpus size (measured: k=10 m=2 walls
+    grew 12 s → 164 s from 50k to 150k docs), so m must track N exactly
+    as Manku's table count does.  Fan-out C(k+m, m) is capped."""
+    m = 2
+    while True:
+        key_bits = m * (64 // (k + m))
+        if n_docs / float(1 << min(62, key_bits)) <= target_bucket:
+            return m
+        nxt = m + 1
+        if k + nxt > 64 or math.comb(k + nxt, nxt) > max_tables:
+            return m
+        m = nxt
+
+
 def simhash_pairs(ds, text_col="text", id_col="doc_id",
-                  max_distance: int = 10, analyzer: str = "default") -> pa.Table:
+                  max_distance: int = 10, analyzer: str = "default",
+                  num_docs: int = None, m: int = None) -> pa.Table:
     """→ (id_a, id_b, distance) pairs with Hamming distance <= max_distance.
 
-    Candidates come from C(k+2, 2) piece-pair tables (module docstring);
-    each table's key packs both pieces plus the table index, so buckets
-    never collide across tables.  Row fan-out grows as C(k+2, 2) (66 at
-    the default k=10) — sized for the near-dup regime k ≲ 16; far
-    larger thresholds mean "almost everything pairs" and no banding
-    scheme saves the quadratic verify."""
+    Candidates come from C(k+m, m) piece-combination tables (module
+    docstring); each table's key packs its m pieces plus the table
+    index, so buckets never collide across tables.  ``m`` defaults to
+    the corpus-size-adaptive pick (``_auto_m`` — constant expected
+    bucket size, capped fan-out); pass it explicitly to pin the
+    fan-out/key-width trade."""
     from itertools import combinations
 
     if not 0 <= max_distance <= 62:
-        raise ValueError("max_distance must be in [0, 62] (the piece-pair "
+        raise ValueError("max_distance must be in [0, 62] (the piece "
                          "pigeonhole needs k+2 <= 64 pieces)")
     hasher = SimHasher()
-    n_pieces = max_distance + 2
+    if m is None:
+        n_docs = ds.count() if num_docs is None else num_docs
+        m = _auto_m(n_docs, max_distance)
+    if not 2 <= m <= 64 - max_distance:
+        raise ValueError(f"m must be in [2, {64 - max_distance}]")
+    n_pieces = max_distance + m
     widths, offsets = _piece_layout(n_pieces)
-    combos = list(combinations(range(n_pieces), 2))
+    combos = list(combinations(range(n_pieces), m))
+    table_bits = int(len(combos) - 1).bit_length()
+    assert int(widths.max()) * m + table_bits <= 64, "key overflow"
 
     def stage(batch: pa.Table) -> pa.Table:
         out = analyze_batch(batch.column(text_col), analyzer)
@@ -174,11 +210,13 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id",
             & np.uint64((1 << widths[p]) - 1) for p in range(n_pieces)
         ], axis=1)                                    # (D, n_pieces)
         keys = np.empty((len(fps), len(combos)), dtype=np.uint64)
-        for t, (p, q) in enumerate(combos):
-            keys[:, t] = (pieces[:, p]
-                          | (pieces[:, q] << np.uint64(widths[p]))
-                          | (np.uint64(t) << np.uint64(widths[p]
-                                                       + widths[q])))
+        for t, combo in enumerate(combos):
+            kt = np.zeros(len(fps), dtype=np.uint64)
+            shift = 0
+            for p in combo:
+                kt |= pieces[:, p] << np.uint64(shift)
+                shift += int(widths[p])
+            keys[:, t] = kt | (np.uint64(t) << np.uint64(shift))
         return pa.table({
             "band_key": pa.array(keys.ravel(), type=pa.uint64()),
             id_col: pa.array(np.repeat(ids[idx], len(combos)),
