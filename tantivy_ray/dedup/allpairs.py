@@ -12,11 +12,12 @@ which is probabilistic).
 Distributed shape (Ray Data):
   1. ``map_batches``: per-doc sorted unique shingle-hash array (uint64).
   2. canonical order: ascending GLOBAL document frequency (rarest
-     first) when the shingle vocabulary fits a driver-side broadcast
-     (``ray.put`` once, read per task) — rare prefixes keep candidate
-     groups tiny; otherwise plain hash order (still exact, more
-     candidates, zero extra exchange) — the documented 100-TB fallback
-     is a sort-merge df join instead of the broadcast.
+     first) — rare prefixes keep candidate groups tiny.  When the
+     shingle vocabulary fits a driver-side broadcast the rank map ships
+     via ``ray.put`` (once, read per task); above the cap the SAME
+     ordering comes from a distributed sort-merge df join (sort(h)
+     attach + sort(doc_id) rebuild — two linear exchanges, no
+     driver-held vocab, unbounded scale).
   3. ``flat_map``-style explode of prefix elements →
      ``groupby(prefix)`` + per-group verification: length filter
      (``n_a >= t * n_b``) then exact intersection on the uint64 arrays.
@@ -125,6 +126,16 @@ def jaccard_allpairs_prefix(ds, text_col: str = "text",
         # shingles in prefixes and blows up candidate-group sizes)
         rank_of_sorted = np.argsort(hs, kind="stable")
         rank_ref = ray.put((np.sort(hs), rank_of_sorted))
+    else:
+        # distributed rarity join — no driver-side vocab at ANY scale:
+        # the df table and the exploded (h, doc_id) rows meet in one
+        # sort(h) (equal keys never split across sorted blocks), each
+        # doc row picks up its shingle's df, and one sort(doc_id)
+        # rebuilds per-doc sets in (df asc, h asc) canonical order —
+        # the SAME order the broadcast path ranks by, so prefixes stay
+        # rarest-first at unbounded vocabulary
+        exploded = _rarity_join_prefix_rows(docs, dfs, id_col, threshold)
+        return _verify_and_dedup(exploded, id_col, threshold)
 
     def prefix_stage(batch: pa.Table) -> pa.Table:
         # fully vectorized: one flatten, one searchsorted over ALL
@@ -141,7 +152,6 @@ def jaccard_allpairs_prefix(ds, text_col: str = "text",
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(
             np.uint64, copy=False)
         nrows = len(n)
-        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
         row_of = np.repeat(np.arange(nrows, dtype=np.int64), n)
         if ranks is not None and len(flat):
             keys, rank_sorted = ranks
@@ -149,40 +159,149 @@ def jaccard_allpairs_prefix(ds, text_col: str = "text",
             order = np.lexsort((r, row_of))   # rarity (df asc) per row
             flat = flat[order]
         # else: np.unique already left hash order — canonical too
-        p = np.where(n > 0,
-                     n - np.ceil(threshold * n.astype(np.float64))
-                     .astype(np.int64) + 1, 0)
-        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, n)
-        mask = pos < np.repeat(p, n)
-        # per-row set blob = this row's rank-sorted 8-byte hashes, sliced
-        # zero-copy from one contiguous buffer via LargeBinary offsets
-        off64 = np.concatenate(([0], np.cumsum(n))) * 8
-        blobs = pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(), nrows,
-            [None, pa.py_buffer(off64.astype(np.int64).tobytes()),
-             pa.py_buffer(flat.tobytes())])
-        sel_rows = row_of[mask]
-        pm = flat[mask]
-        return pa.table({
-            # int64 views of the prefix hash: exact group identity with
-            # no uint64 pickle fallback in the exchange.  "pb" buckets
-            # the shuffle into NUM_VERIFY_BUCKETS groups so map_groups
-            # pays per-bucket (not per-distinct-prefix) overhead; the
-            # verifier re-splits by exact "p" inside each bucket.
-            "pb": pa.array((pm & np.uint64(NUM_VERIFY_BUCKETS - 1))
-                           .astype(np.int64), type=pa.int64()),
-            "p": pa.array(pm.view(np.int64), type=pa.int64()),
-            id_col: pa.array(ids[sel_rows].astype(np.int64),
-                             type=pa.int64()),
-            "n": pa.array(n[sel_rows], type=pa.int64()),
-            # 0-indexed position of this prefix element in the doc's
-            # canonically-ordered set — feeds the positional filter
-            "pos": pa.array(pos[mask], type=pa.int64()),
-            "set": blobs.take(pa.array(sel_rows, type=pa.int64())),
-        })
+        return _emit_prefix_rows(ids, n, flat, threshold, id_col)
 
     exploded = docs.map_batches(prefix_stage, batch_format="pyarrow",
                                 **remote_args())
+    return _verify_and_dedup(exploded, id_col, threshold)
+
+
+def _emit_prefix_rows(ids: np.ndarray, n: np.ndarray,
+                      flat_ordered: np.ndarray, threshold: float,
+                      id_col: str) -> pa.Table:
+    """(per-doc canonical-ordered flat hashes) → prefix rows: the
+    (pb, p, id, n, pos, set-blob) table both rank paths feed the
+    verifier.  ``flat_ordered`` is the concatenation of every doc's
+    shingle hashes already in canonical (rarity) order; set blobs slice
+    zero-copy from that one buffer."""
+    nrows = len(n)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), n)
+    p = np.where(n > 0,
+                 n - np.ceil(threshold * n.astype(np.float64))
+                 .astype(np.int64) + 1, 0)
+    pos = np.arange(len(flat_ordered), dtype=np.int64) \
+        - np.repeat(starts, n)
+    mask = pos < np.repeat(p, n)
+    off64 = np.concatenate(([0], np.cumsum(n))) * 8
+    blobs = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), nrows,
+        [None, pa.py_buffer(off64.astype(np.int64).tobytes()),
+         pa.py_buffer(flat_ordered.tobytes())])
+    sel_rows = row_of[mask]
+    pm = flat_ordered[mask]
+    return pa.table({
+        # int64 views of the prefix hash: exact group identity with
+        # no uint64 pickle fallback in the exchange.  "pb" buckets
+        # the shuffle into NUM_VERIFY_BUCKETS groups so map_groups
+        # pays per-bucket (not per-distinct-prefix) overhead; the
+        # verifier re-splits by exact "p" inside each bucket.
+        "pb": pa.array((pm & np.uint64(NUM_VERIFY_BUCKETS - 1))
+                       .astype(np.int64), type=pa.int64()),
+        "p": pa.array(pm.view(np.int64), type=pa.int64()),
+        id_col: pa.array(ids[sel_rows].astype(np.int64),
+                         type=pa.int64()),
+        "n": pa.array(n[sel_rows], type=pa.int64()),
+        # 0-indexed position of this prefix element in the doc's
+        # canonically-ordered set — feeds the positional filter
+        "pos": pa.array(pos[mask], type=pa.int64()),
+        "set": blobs.take(pa.array(sel_rows, type=pa.int64())),
+    })
+
+
+def _rarity_join_prefix_rows(docs, dfs, id_col: str, threshold: float):
+    """Unbounded-vocabulary rarity ordering: attach each shingle's df
+    via one sort(h) merge of the df table with the exploded (h, doc_id)
+    rows, then one sort(doc_id) rebuilds per-doc sets in (df asc, h
+    asc) canonical order — identical ordering to the broadcast path,
+    with two linear exchanges of the shingle multiset instead of a
+    driver-held vocab.  Relies on the documented sort invariant: equal
+    keys never split across sorted output blocks."""
+    import pyarrow.compute as pc
+
+    def explode_docs(batch: pa.Table) -> pa.Table:
+        col = batch.column("sh").combine_chunks()
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        return pa.table({
+            "h": flat.view(pa.int64()),
+            id_col: pa.array(np.repeat(ids, lens), type=pa.int64()),
+            "df": pa.array(np.zeros(len(flat), dtype=np.int64)),
+            "side": pa.array(np.ones(len(flat), dtype=np.int8)),
+        })
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        nb = batch.num_rows
+        return pa.table({
+            "h": batch.column("h").cast(pa.int64()),
+            id_col: pa.array(np.full(nb, -1, dtype=np.int64)),
+            "df": batch.column("df").cast(pa.int64()),
+            "side": pa.array(np.zeros(nb, dtype=np.int8)),
+        })
+
+    tagged = (dfs.map_batches(df_rows, batch_format="pyarrow",
+                              **remote_args())
+              .union(docs.map_batches(explode_docs,
+                                      batch_format="pyarrow",
+                                      **remote_args()))
+              .sort("h"))
+
+    def attach_df(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(id_col, pa.int64()), ("h", pa.int64()),
+                                ("df", pa.int64())])
+        nr = tbl.num_rows
+        if nr == 0:
+            return pa.Table.from_pydict(
+                {f.name: [] for f in out_schema}, schema=out_schema)
+        h = tbl.column("h").to_numpy()
+        side = tbl.column("side").to_numpy()
+        dfv = tbl.column("df").to_numpy()
+        ids = tbl.column(id_col).to_numpy()
+        change = np.empty(nr, dtype=bool)
+        change[0] = True
+        change[1:] = h[1:] != h[:-1]
+        gid = np.cumsum(change.astype(np.int64)) - 1
+        df_of = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
+        side0 = np.flatnonzero(side == 0)
+        df_of[gid[side0]] = dfv[side0]
+        rows = np.flatnonzero(side == 1)
+        return pa.table({
+            id_col: pa.array(ids[rows], type=pa.int64()),
+            "h": pa.array(h[rows], type=pa.int64()),
+            "df": pa.array(df_of[gid[rows]], type=pa.int64()),
+        })
+
+    attached = tagged.map_batches(attach_df, batch_size=None,
+                                  batch_format="pyarrow", **remote_args())
+
+    def build_prefix_rows(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _emit_prefix_rows(np.empty(0, dtype=np.int64),
+                                     np.empty(0, dtype=np.int64),
+                                     np.empty(0, dtype=np.uint64),
+                                     threshold, id_col)
+        ids = tbl.column(id_col).to_numpy()
+        h_u = tbl.column("h").to_numpy().view(np.uint64)
+        dfv = tbl.column("df").to_numpy()
+        order = np.lexsort((h_u, dfv, ids))   # per doc: df asc, h asc
+        ids_s, h_s = ids[order], h_u[order]
+        change = np.empty(len(ids_s), dtype=bool)
+        change[0] = True
+        change[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.flatnonzero(change)
+        n = np.diff(np.append(starts, len(ids_s)))
+        return _emit_prefix_rows(ids_s[starts], n, h_s, threshold, id_col)
+
+    return attached.sort(id_col).map_batches(
+        build_prefix_rows, batch_size=None, batch_format="pyarrow",
+        **remote_args())
+
+
+def _verify_and_dedup(exploded, id_col: str, threshold: float) -> pa.Table:
+    """groupby(prefix-bucket) verification + distributed pair dedup —
+    the tail both rank paths share."""
 
     def verify_bucket(g) -> "pa.Table":
         import pandas as pd

@@ -472,8 +472,8 @@ class TestPrefixFilterAllPairs:
     def test_parity_df_order(self, ray_session):
         self._parity(ray_session, cap=5_000_000)
 
-    def test_parity_hash_order_fallback(self, ray_session):
-        # vocab cap 0 forces the no-broadcast hash-order path
+    def test_parity_rarity_join_fallback(self, ray_session):
+        # vocab cap 0 forces the no-broadcast distributed df-join path
         self._parity(ray_session, cap=0)
 
     def test_lower_threshold_parity(self, ray_session):
