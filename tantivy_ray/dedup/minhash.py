@@ -512,6 +512,12 @@ def _fused_verify(ds, cand, text_col: str, id_col: str, threshold: float,
     })
 
 
+# the fused verify holds the deduped candidate-pair id arrays on the
+# driver (then ray.put): bounded by candidate volume, so above this cap
+# the reduce-side-join path (which never centralizes pairs) takes over
+DEFAULT_CANDIDATE_BROADCAST_CAP = 20_000_000
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -522,9 +528,13 @@ def minhash_lsh_pairs(
     shingle_w: int = 3,
     analyzer: str = "default",
     prune_candidates: bool = True,
+    candidate_broadcast_cap: int = DEFAULT_CANDIDATE_BROADCAST_CAP,
 ) -> pa.Table:
     """→ pa.Table (id_a, id_b, jaccard) for verified near-dup pairs,
-    id_a < id_b.  See module docstring for the distributed shape."""
+    id_a < id_b.  See module docstring for the distributed shape.
+    ``prune_candidates=True`` auto-falls back to the reduce-side join
+    when the candidate-pair count exceeds ``candidate_broadcast_cap``
+    (the fused path's driver/broadcast bound)."""
     import ray
 
     hasher = MinHasher(num_perm, shingle_w=shingle_w)
@@ -554,7 +564,16 @@ def minhash_lsh_pairs(
     cand = banded.sort("bkey").map_batches(
         lambda t: _bucket_pairs_block(t, id_col),
         batch_size=None, batch_format="pyarrow", **remote_args(),
-    )
+    ).materialize()  # consumed once for count, once for the verify
+
+    if prune_candidates and cand.count() > candidate_broadcast_cap:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "minhash: %d candidate pairs exceed the broadcast cap %d — "
+            "switching to the reduce-side join verify",
+            cand.count(), candidate_broadcast_cap)
+        prune_candidates = False
 
     if prune_candidates:
         # fused verify: ONE exchange, vectorized jaccard (round-3).

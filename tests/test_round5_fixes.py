@@ -489,3 +489,21 @@ class TestVectorizedDedupKernels:
             for off in np.flatnonzero(d <= k):
                 want.add((ids[i], ids[i + 1 + off], int(d[off])))
         assert got_set == want and len(want) > 10
+
+    def test_minhash_candidate_cap_switches_to_join_path(self, ray_session):
+        """candidate_broadcast_cap=0 forces the reduce-side-join verify;
+        output must be identical to the fused broadcast path."""
+        import ray.data as rd
+
+        from tantivy_ray.dedup import minhash_lsh_pairs
+
+        def docs():
+            return rd.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["doc_id", "text"], override_num_blocks=3)
+
+        fused = minhash_lsh_pairs(docs(), threshold=0.8)
+        joined = minhash_lsh_pairs(docs(), threshold=0.8,
+                                   candidate_broadcast_cap=0)
+        assert fused.equals(joined)
+        assert fused.num_rows > 0
