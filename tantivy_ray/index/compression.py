@@ -197,7 +197,11 @@ class TermPostingsReader:
         self.wand_fid = np.frombuffer(buf[o:o + nb], dtype=np.uint8); o += nb
         self.wand_tf = np.frombuffer(buf[o:o + 4 * nb], dtype=np.uint32); o += 4 * nb
         self.data_off = np.frombuffer(buf[o:o + 4 * nb], dtype=np.uint32); o += 4 * nb
-        self._data = buf[o:]
+        # re-class a memmap payload view to plain ndarray (zero-copy):
+        # np.memmap.__array_finalize__ otherwise rides along on EVERY
+        # block slice in the decode hot loops (profiled at 1.5M calls /
+        # 2.1 s over a 3600-query WAND run)
+        self._data = buf[o:].view(np.ndarray)
 
     def block_count(self, b: int) -> int:
         if b + 1 < self.n_blocks:
