@@ -90,6 +90,69 @@ def affine_min_hash(hashes: np.ndarray, a: np.ndarray, b: np.ndarray,
     return out
 
 
+_OPH_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+_OPH_ROT_C = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ distinct offsets mod 2^64
+
+
+def oph_min_hash(hashes: np.ndarray, starts: np.ndarray,
+                 ends: np.ndarray, num_perm: int) -> np.ndarray:
+    """One-permutation MinHash signatures with rotation densification
+    (Li, Owen & Zhang, NIPS'12; Shrivastava & Li, ICML'14): the hash
+    space splits into ``num_perm`` bins on the TOP bits, each bin keeps
+    its min shingle hash, and empty bins copy the nearest filled bin to
+    the right (circular) plus ``distance * C`` so copies at different
+    distances never collide.  ONE pass over the shingle hashes replaces
+    ``num_perm`` affine permutations (~50× less arithmetic — the
+    mulmod chain was ~70% of the minhash wall at sf1); two documents'
+    bin values collide with probability ≈ their jaccard, the same
+    banding contract as the affine path.  Rows of empty docs are
+    _OPH_EMPTY-filled.  ``num_perm`` must be a power of two."""
+    D = len(starts)
+    P = num_perm
+    assert P & (P - 1) == 0, "num_perm must be a power of two"
+    out = np.full((D, P), _OPH_EMPTY, dtype=np.uint64)
+    S = len(hashes)
+    if S == 0 or D == 0:
+        return out
+    shift = np.uint64(64 - int(P).bit_length() + 1)
+    lens = ends - starts
+    assert int(lens.sum()) == S, "doc ranges must tile the hash array"
+    doc_rep = np.repeat(np.arange(D, dtype=np.int64), lens)
+    bins = (hashes >> shift).astype(np.int64)
+    # min per (doc, bin): one lexsort + first-of-run scatter
+    key = doc_rep * P + bins
+    order = np.lexsort((hashes, key))
+    k2, h2 = key[order], hashes[order]
+    first = np.empty(len(k2), dtype=bool)
+    first[0] = True
+    first[1:] = k2[1:] != k2[:-1]
+    out.ravel()[k2[first]] = h2[first]
+    # rotation densification: for each empty bin, the distance to the
+    # next filled bin to the right (circular) via a reverse cummin over
+    # the doubled column index, then value = filled + d * C
+    filled = out != _OPH_EMPTY
+    has_any = filled.any(axis=1)
+    if not has_any.all():
+        pass  # empty docs stay _OPH_EMPTY-filled
+    cols = np.arange(2 * P, dtype=np.int64)[None, :]
+    filled2 = np.concatenate([filled, filled], axis=1)
+    idx2 = np.where(filled2, cols, np.int64(1 << 60))
+    # next filled index at or after j: reverse cumulative minimum
+    nxt = np.minimum.accumulate(idx2[:, ::-1], axis=1)[:, ::-1][:, :P]
+    rows_any = np.flatnonzero(has_any)
+    if len(rows_any):
+        sub = out[rows_any]
+        nxt_s = nxt[rows_any]
+        j = np.arange(P, dtype=np.int64)[None, :]
+        d = (nxt_s - j).astype(np.uint64)
+        src = (nxt_s % P).astype(np.int64)
+        dense = np.take_along_axis(sub, src, axis=1) + d * _OPH_ROT_C
+        empty_s = sub == _OPH_EMPTY
+        sub[empty_s] = dense[empty_s]
+        out[rows_any] = sub
+    return out
+
+
 def segment_pairs(starts: np.ndarray, ends: np.ndarray):
     """All (i, j) index pairs with starts[g] <= i < j < ends[g] for every
     segment g — fully vectorized (no per-segment python).  Feeds the

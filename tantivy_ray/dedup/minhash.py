@@ -112,6 +112,28 @@ class MinHasher:
         c_ends = keep[sh_ends]
         return affine_min_hash(kept, self.a, self.b, c_starts, c_ends)
 
+    def oph_signatures_from_analyzed(self, tokens: pa.ListArray) -> np.ndarray:
+        """(D, P) one-permutation signatures (hashing.oph_min_hash) from
+        an AnalyzedBatch token ListArray — the same vectorized arrow
+        shingling as ``signatures_from_analyzed``, with ONE hash pass
+        instead of P affine permutations.  Empty docs are
+        _OPH_EMPTY-filled."""
+        from .hashing import oph_min_hash
+
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        hashes_all, sh_s, sh_e = _shingle_hash_ranges(tokens,
+                                                      self.shingle_w)
+        # compact the kept ranges (drop cross-doc shingles)
+        delta = np.zeros(len(hashes_all) + 1, dtype=np.int64)
+        np.add.at(delta, sh_s, 1)
+        np.add.at(delta, sh_e, -1)
+        mask = np.cumsum(delta[:-1]) > 0
+        kept = hashes_all[mask]
+        keep = np.zeros(len(hashes_all) + 1, dtype=np.int64)
+        np.cumsum(mask.astype(np.int64), out=keep[1:])
+        return oph_min_hash(kept, keep[sh_s], keep[sh_e], self.num_perm)
+
     def signature(self, tokens: List[str]) -> Optional[np.ndarray]:
         sig = self.signatures_batch([tokens])[0]
         return None if (sig == P61).all() else sig
@@ -529,30 +551,96 @@ def minhash_lsh_pairs(
     analyzer: str = "default",
     prune_candidates: bool = True,
     candidate_broadcast_cap: int = DEFAULT_CANDIDATE_BROADCAST_CAP,
+    sig_method: str = "affine",
 ) -> pa.Table:
     """→ pa.Table (id_a, id_b, jaccard) for verified near-dup pairs,
     id_a < id_b.  See module docstring for the distributed shape.
     ``prune_candidates=True`` auto-falls back to the reduce-side join
     when the candidate-pair count exceeds ``candidate_broadcast_cap``
-    (the fused path's driver/broadcast bound)."""
+    (the fused path's driver/broadcast bound).
+
+    ``sig_method``: ``"affine"`` (default) = the classic k
+    independent-permutation MinHash — full per-row independence, the
+    right choice when documents are short relative to the signature
+    width (this repo's synthetic corpora: median ~70 tokens).
+    ``"oph"`` = one-permutation hashing with rotation densification
+    (Li/Owen/Zhang NIPS'12; Shrivastava/Li ICML'14) — ONE hash pass
+    instead of k permutations (~15× less signature arithmetic per
+    batch, measured), for corpora of LONG documents.  Sparse docs
+    (< 2×num_perm shingles) additionally emit classic affine bands in
+    a salted second bucket family, because OPH resolution degrades
+    below ~1 shingle/bin (a measured near-threshold miss) — the
+    J >= t length filter guarantees a qualifying pair is either
+    both-sparse (affine family) or both-dense (OPH family), so the
+    union loses nothing; verified pair-set-identical to "affine" at
+    sf1 and sf3.  Either way the reported pairs are EXACT-jaccard
+    verified — the method only shapes candidate recall."""
     import ray
 
+    from .hashing import _OPH_EMPTY
+
+    if sig_method not in ("oph", "affine"):
+        raise ValueError(f"unknown sig_method {sig_method!r}")
     hasher = MinHasher(num_perm, shingle_w=shingle_w)
+    rows_per_band = num_perm // bands
+    # OPH rotation densification copies values in contiguous-bin RUNS
+    # for sparse docs; CONTIGUOUS bands would then fire whenever a run
+    # covers them (P(band) ≈ agreement, not agreement^rows — measured
+    # 9.2M candidates vs 85k at sf1).  A strided bin→band assignment
+    # (band b ← bins b, b+bands, b+2*bands, …) spreads every band
+    # across the circle, restoring near-independent rows per band.
+    oph_perm = (np.arange(num_perm).reshape(rows_per_band, bands)
+                .T.ravel())
+    # docs far sparser than the bin count carry too few distinct values
+    # for OPH banding (a 14-shingle doc has 14-sample resolution — a
+    # measured near-threshold miss); such docs ALSO emit exact affine
+    # bands.  Affine cost is shingles × P, so sparse docs are cheap by
+    # definition, and the J >= t length filter (sizes within ratio t)
+    # means a qualifying pair is either both under ~2×bins (affine
+    # family catches it) or both dense enough for OPH — the family
+    # salt keeps the two bucket spaces disjoint.
+    oph_sparse_cutoff = 2 * num_perm
+    _FAMILY_SALT = np.uint64(0xD1B54A32D192ED03)
 
     def stage_bands(batch: pa.Table) -> pa.Table:
         out = analyze_batch(batch.column(text_col), analyzer)
         ids = batch.column(id_col).cast(pa.int64()).to_numpy()
-        sigs = hasher.signatures_from_analyzed(out.tokens)
-        nonempty = np.flatnonzero(~(sigs == P61).all(axis=1))
+        tokens = out.tokens
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        if sig_method == "affine":
+            sigs = hasher.signatures_from_analyzed(tokens)
+            nonempty = np.flatnonzero(~(sigs == P61).all(axis=1))
+            if len(nonempty) == 0:
+                return pa.table({"bkey": pa.array([], type=pa.uint64()),
+                                 id_col: pa.array([], type=pa.int64())})
+            keys = band_keys(sigs[nonempty], bands)       # (D', bands)
+            return pa.table({
+                "bkey": pa.array(keys.ravel(), type=pa.uint64()),
+                id_col: pa.array(np.repeat(ids[nonempty], bands),
+                                 type=pa.int64()),
+            })
+        sigs = hasher.oph_signatures_from_analyzed(tokens)[:, oph_perm]
+        nonempty = np.flatnonzero(~(sigs == _OPH_EMPTY).all(axis=1))
         if len(nonempty) == 0:
             return pa.table({"bkey": pa.array([], type=pa.uint64()),
                              id_col: pa.array([], type=pa.int64())})
-        keys = band_keys(sigs[nonempty], bands)           # (D', bands)
-        D = len(nonempty)
+        key_chunks = [band_keys(sigs[nonempty], bands).ravel()]
+        id_chunks = [np.repeat(ids[nonempty], bands)]
+        tok_counts = np.diff(tokens.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        sh_counts = np.maximum(tok_counts - shingle_w + 1, 0)
+        sparse = np.flatnonzero((sh_counts > 0)
+                                & (sh_counts < oph_sparse_cutoff))
+        if len(sparse):
+            sub = tokens.take(pa.array(sparse, type=pa.int64()))
+            asigs = hasher.signatures_from_analyzed(sub)
+            akeys = band_keys(asigs, bands) ^ _FAMILY_SALT
+            key_chunks.append(akeys.ravel())
+            id_chunks.append(np.repeat(ids[sparse], bands))
         return pa.table({
-            "bkey": pa.array(keys.ravel(), type=pa.uint64()),
-            id_col: pa.array(np.repeat(ids[nonempty], bands),
-                             type=pa.int64()),
+            "bkey": pa.array(np.concatenate(key_chunks), type=pa.uint64()),
+            id_col: pa.array(np.concatenate(id_chunks), type=pa.int64()),
         })
 
     banded = ds.map_batches(stage_bands, batch_format="pyarrow",

@@ -507,3 +507,68 @@ class TestVectorizedDedupKernels:
                                    candidate_broadcast_cap=0)
         assert fused.equals(joined)
         assert fused.num_rows > 0
+
+    def test_minhash_oph_hybrid_matches_affine(self, ray_session):
+        """The OPH long-document path (one-pass signatures + strided
+        bands + the sparse-doc affine family) must produce the same
+        verified pair set as the classic affine path."""
+        import ray.data as rd
+
+        from tantivy_ray.dedup import minhash_lsh_pairs
+
+        def docs():
+            return rd.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["doc_id", "text"], override_num_blocks=3)
+
+        aff = minhash_lsh_pairs(docs(), threshold=0.8,
+                                sig_method="affine")
+        oph = minhash_lsh_pairs(docs(), threshold=0.8, sig_method="oph")
+        assert aff.equals(oph)
+        assert aff.num_rows > 0
+
+    def test_oph_kernel_tracks_jaccard(self):
+        """oph_min_hash bin-agreement approximates jaccard on dense
+        random sets (the estimator contract banding relies on)."""
+        import numpy as np
+
+        from tantivy_ray.dedup.hashing import _OPH_EMPTY, oph_min_hash
+
+        rng = np.random.RandomState(3)
+
+        def u64(size):
+            # full-range uint64 like production SipHash values (bins
+            # come from the TOP bits, so the test must cover them)
+            hi = rng.randint(0, 2**32, size=size).astype(np.uint64)
+            lo = rng.randint(0, 2**32, size=size).astype(np.uint64)
+            return (hi << np.uint64(32)) | lo
+
+        errs = []
+        for _ in range(20):
+            a = u64(600)
+            keep = rng.rand(600) > 0.25
+            b = np.concatenate([a[keep], u64(150)])
+            hashes = np.concatenate([a, b])
+            starts = np.array([0, len(a)])
+            ends = np.array([len(a), len(a) + len(b)])
+            sig = oph_min_hash(hashes, starts, ends, 128)
+            assert (sig != _OPH_EMPTY).all()
+            agree = float((sig[0] == sig[1]).mean())
+            sa, sb = set(a.tolist()), set(b.tolist())
+            j = len(sa & sb) / len(sa | sb)
+            errs.append(abs(agree - j))
+        assert np.mean(errs) < 0.06
+
+    def test_oph_empty_and_single_docs(self):
+        import numpy as np
+
+        from tantivy_ray.dedup.hashing import _OPH_EMPTY, oph_min_hash
+
+        h = np.array([12345], dtype=np.uint64)
+        sig = oph_min_hash(h, np.array([0, 0]), np.array([0, 1]), 128)
+        assert (sig[0] == _OPH_EMPTY).all()       # empty doc
+        assert (sig[1] != _OPH_EMPTY).all()       # densified single
+        # identical single-shingle docs → identical signatures
+        h2 = np.array([777, 777], dtype=np.uint64)
+        s2 = oph_min_hash(h2, np.array([0, 1]), np.array([1, 2]), 128)
+        assert (s2[0] == s2[1]).all()
