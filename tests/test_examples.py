@@ -15,7 +15,8 @@ LIGHT = ["basic_search.py", "analyzers.py", "fuzzy_and_prefix.py",
          "custom_collector.py", "faceted_search.py",
          "json_and_snippets.py"]
 RAY = ["aggregation.py", "distributed_build.py",
-       "deleting_updating_documents.py", "warmed_searcher_pool.py"]
+       "deleting_updating_documents.py", "warmed_searcher_pool.py",
+       "corpus_dedup.py"]
 
 
 def _run(name):
