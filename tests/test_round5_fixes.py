@@ -572,3 +572,24 @@ class TestVectorizedDedupKernels:
         h2 = np.array([777, 777], dtype=np.uint64)
         s2 = oph_min_hash(h2, np.array([0, 1]), np.array([1, 2]), 128)
         assert (s2[0] == s2[1]).all()
+
+    def test_minhash_mult_family_matches_affine(self, ray_session):
+        """The default odd-multiplier wraparound permutation family must
+        produce the same verified pair set as the Mersenne affine
+        family (both are exact-jaccard verified; this pins candidate
+        recall equivalence on the planted-dup corpus)."""
+        import ray.data as rd
+
+        from tantivy_ray.dedup import minhash_lsh_pairs
+
+        def docs():
+            return rd.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["doc_id", "text"], override_num_blocks=3)
+
+        mult = minhash_lsh_pairs(docs(), threshold=0.8,
+                                 sig_method="mult")
+        aff = minhash_lsh_pairs(docs(), threshold=0.8,
+                                sig_method="affine")
+        assert mult.equals(aff)
+        assert mult.num_rows > 0
