@@ -105,11 +105,29 @@ def jaccard_allpairs_prefix(ds, text_col: str = "text",
         flat = col.flatten()
         return pa.table({"h": flat.view(pa.int64())})
 
-    from ray.data.aggregate import Count
+    def rl_count(tbl: pa.Table) -> pa.Table:
+        """h-sorted block → (h, df) run-length counts.  Ray's grouped
+        aggregate pays per-group overhead on the ~1-per-doc-shingle
+        cardinality here (measured 18.8 s vs 0.7 s at sf1); the
+        repo-standard sort + whole-block run-length scan is the right
+        shape (equal keys never split across sorted blocks)."""
+        if tbl.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        h = tbl.column("h").to_numpy()
+        change = np.empty(len(h), dtype=bool)
+        change[0] = True
+        change[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.append(starts, len(h)))
+        return pa.table({"h": pa.array(h[starts], type=pa.int64()),
+                         "df": pa.array(cnt, type=pa.int64())})
 
     dfs = (docs.map_batches(explode, batch_format="pyarrow",
                             **remote_args())
-           .groupby("h").aggregate(Count(alias_name="df"))
+           .sort("h")
+           .map_batches(rl_count, batch_size=None, batch_format="pyarrow",
+                        **remote_args())
            .materialize())  # count() + to_pandas() must not re-execute
     vocab = dfs.count()
     rank_ref: Optional[object] = None

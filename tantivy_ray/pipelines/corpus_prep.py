@@ -33,7 +33,7 @@ MAX_STOP_RATIO = 0.12
 def q_corpus_prep(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -76,14 +76,24 @@ def q_corpus_prep(sf_dir: str) -> pa.Table:
                            **remote_args())
 
     # exact dedup keep-first: duplicate texts share identical features,
-    # so Min over them is the kept doc's value; the packed key resolves
-    # which lang survives
-    kept = feats.groupby("h").aggregate(
-        Min("key", alias_name="key"),
-        Min("num_tokens", alias_name="num_tokens"),
-        Min("stop_ratio", alias_name="stop_ratio"),
-        Min("n_chars", alias_name="n_chars"),
-    )
+    # so the first row of each (h, key)-sorted run IS the kept doc (the
+    # packed key resolves which lang survives).  Sort + run-length
+    # replaces the grouped Min aggregate — per-group overhead at
+    # one-group-per-doc cardinality (see dedup/exact.py).
+    def first_per_hash(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        tbl = tbl.sort_by([("h", "ascending"), ("key", "ascending")])
+        h = tbl.column("h").combine_chunks()
+        neq = pc.invert(pc.equal(h.slice(1), h.slice(0, len(h) - 1)))
+        if isinstance(neq, pa.ChunkedArray):
+            neq = neq.combine_chunks()
+        mask = pa.concat_arrays([pa.array([True]), neq])
+        return tbl.filter(mask)
+
+    kept = feats.sort("h").map_batches(
+        first_per_hash, batch_size=None, batch_format="pyarrow",
+        **remote_args())
 
     def keep_quality(batch: pa.Table) -> pa.Table:
         nt = batch.column("num_tokens").to_numpy()

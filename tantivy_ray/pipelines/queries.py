@@ -377,27 +377,13 @@ def q_topk_bm25_variants(sf_dir: str) -> pa.Table:
 # ----------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str) -> pa.Table:
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    # keep-first via the library operator (sort + run-length first —
+    # see dedup/exact.py for why this beats the grouped Min aggregate
+    # at one-group-per-doc cardinality)
+    from ..dedup import exact_dedup
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = [
-            hashlib.sha256(t.encode()).hexdigest()
-            for t in batch.column("text").to_pylist()
-        ]
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "h": pa.array(h, type=pa.string()),
-        })
-
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow", **remote_args())
-
-    # keep-first via the vectorized Min aggregate (per-block partial
-    # combine; no per-group python at corpus scale)
-    from ray.data.aggregate import Min
-
-    kept = (hashed.groupby("h")
-            .aggregate(Min("doc_id", alias_name="doc_id"))
-            .select_columns(["doc_id"]))
+    kept = exact_dedup(_read_docs(sf_dir, ["doc_id", "text"]),
+                       text_col="text", id_col="doc_id")
     pdf = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pdf["doc_id"] = pdf["doc_id"].astype("int64")
     return pa.Table.from_pandas(pdf, preserve_index=False)
