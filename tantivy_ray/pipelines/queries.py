@@ -402,11 +402,17 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         out = analyze_batch(batch.column("text"), "default")
-        fps = [
-            hashlib.md5(" ".join(toks).encode()).hexdigest()
-            for toks in out.tokens.to_pylist()
-        ]
+        # arrow-native per-doc join; only the md5 itself (the operator
+        # semantic) stays per-row
+        tokens = out.tokens
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        joined = pc.binary_join(tokens, pa.scalar(" "))
+        fps = [hashlib.md5(s.encode()).hexdigest()
+               for s in joined.to_numpy(zero_copy_only=False)]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "fingerprint": pa.array(fps, type=pa.string()),
